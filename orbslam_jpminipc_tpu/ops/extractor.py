@@ -123,7 +123,9 @@ def _extract_level(
     response = jnp.take(resp_map.reshape(-1), idx)
 
     angle = orb.ic_angle(img, xy)
-    blurred = orb.gaussian_blur_7x7_sigma2(img)
+    # Round the blur to integer intensities: reproduces cv2's uint8 blur
+    # bit-exactly, which makes descriptors identical to cv2.ORB's.
+    blurred = jnp.round(orb.gaussian_blur_7x7_sigma2(img))
     desc = orb.descriptors(blurred, xy, angle)
     return xy, angle, response, desc, valid
 

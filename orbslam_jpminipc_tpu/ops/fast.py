@@ -66,11 +66,23 @@ def fast_score_map(img: jax.Array, threshold: float) -> jax.Array:
 
 
 def nonmax_3x3(score: jax.Array) -> jax.Array:
-    """Keep only local maxima of the score map (3x3 window, OpenCV-style)."""
-    neigh_max = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    return jnp.where((score >= neigh_max) & (score > 0), score, 0.0)
+    """Keep only strict local maxima (score > all 8 neighbors), cv2-style.
+
+    OpenCV's FAST nonmax drops tied maxima on both sides; matching that
+    exactly makes corner sets bit-identical to the cv2 oracle.
+    """
+    h, w = score.shape
+    padded = jnp.pad(score, 1, constant_values=-jnp.inf)
+    neigh = [
+        padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    ]
+    neigh_max = neigh[0]
+    for n in neigh[1:]:
+        neigh_max = jnp.maximum(neigh_max, n)
+    return jnp.where((score > neigh_max) & (score > 0), score, 0.0)
 
 
 def detect(img: jax.Array, threshold: float, border: int = 0) -> jax.Array:

@@ -34,7 +34,7 @@ def _u_max_table() -> np.ndarray:
         umax[v] = int(round(np.sqrt(hp * hp - v * v)))
     v0 = 0
     for v in range(hp, vmin - 1, -1):
-        while umax[v0] == umax[v]:
+        while umax[v0] == umax[v0 + 1]:
             v0 += 1
         umax[v] = v0
         v0 += 1
