@@ -42,7 +42,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # Eager (op-by-op) dispatch is pathologically slow in this environment
 # (~0.5 s/op); the persistent cache makes repeated test runs cheap and the
 # tests below jit their hot calls.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
