@@ -69,17 +69,12 @@ def log_so3(R: jax.Array) -> jax.Array:
     """
     q = quat_from_mat(R)  # [w, x, y, z], w >= 0 so theta in [0, pi]
     w, xyz = q[..., 0], q[..., 1:]
-    n = jnp.linalg.norm(xyz, axis=-1)
+    # Smooth norm: keeps the function AND its derivatives finite at the
+    # identity (a plain norm has a NaN gradient at 0, which poisons the
+    # autodiff Jacobians of the Sim3 pose-graph residuals).
+    n = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1) + 1e-24)
     theta = 2.0 * jnp.arctan2(n, w)
-    # scale = theta / n; series 2/w * (1 - n^2/(3 w^2)) as n -> 0.
-    small = n < 1e-6
-    safe_w = jnp.maximum(w, 1e-12)
-    scale = jnp.where(
-        small,
-        2.0 / safe_w * (1.0 - n * n / (3.0 * safe_w * safe_w)),
-        theta / jnp.where(small, 1.0, n),
-    )
-    return scale[..., None] * xyz
+    return (theta / n)[..., None] * xyz
 
 
 def _so3_left_jacobian(w: jax.Array) -> jax.Array:
