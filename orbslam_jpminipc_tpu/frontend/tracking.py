@@ -1,0 +1,468 @@
+"""Tracking: per-frame camera pose estimation state machine.
+
+Replaces src/Tracking.cc (1136 LoC): the FSM {NO_IMAGES_YET, NOT_INITIALIZED,
+INITIALIZING, WORKING, LOST} (Tracking.h:57-64), motion-model tracking
+(TrackWithMotionModel :594-628), window-search fallback (TrackPreviousFrame
+:526-592), local-map tracking (TrackLocalMap :630-662 with
+UpdateReference* :775-860 and SearchReferencePointsInFrustum :715-773),
+keyframe decision (NeedNewKeyFrame :665-703), BoW+PnP relocalization
+(Relocalisation :881-1050), and the motion-model velocity update (:297-310).
+
+Host-side control flow; every heavy step (matching, frustum checks, pose
+optimization) is a jitted fixed-shape kernel. The tracker mutates only its
+own Frame bookkeeping and the per-point visible/found statistics — map
+growth belongs to the local-mapping stage.
+"""
+from __future__ import annotations
+
+import enum
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..map.map_state import MapState
+from ..map.keyframe_db import KeyFrameDatabase
+from ..ops import matching
+from ..solvers import pose_opt, pnp, initializer
+from .frame import Frame, build_frame, predict_scale_level
+
+MAX_LOCAL_POINTS = 4096
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    INITIALIZING = 2
+    WORKING = 3
+    LOST = 4
+
+
+_window_search = jax.jit(
+    matching.window_search,
+    static_argnames=("max_dist", "min_level", "max_level", "check_rotation"),
+)
+_search_proj = jax.jit(
+    matching.search_by_projection, static_argnames=("max_dist", "level_window")
+)
+_mutual = jax.jit(matching.mutual_match, static_argnames=("max_dist", "check_rotation"))
+_init = jax.jit(initializer.initialize, static_argnames=("n_hyp", "min_triangulated"))
+_pnp = jax.jit(pnp.solve_pnp, static_argnames=("n_hyp", "min_inliers", "min_set"))
+
+
+@jax.jit
+def _frustum(xw, R, t, K4, bounds, normal, min_dist, max_dist):
+    from ..geometry.camera import frustum_check
+
+    return frustum_check(xw, R, t, K4, bounds, normal, min_dist, max_dist)
+
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig, state: MapState, kfdb: KeyFrameDatabase | None = None):
+        self.cfg = cfg
+        self.map = state
+        self.kfdb = kfdb
+        self.state = TrackState.NO_IMAGES_YET
+        self.velocity: tuple[np.ndarray, np.ndarray] | None = None
+        self.last_frame: Frame | None = None
+        self.init_frame: Frame | None = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = 0
+        self.last_reloc_frame_id: int = -(10 ** 9)
+        self.n_inliers: int = 0
+        self.rng_key = jax.random.key(cfg.seed)
+        self.bounds = self._compute_bounds()
+        # callbacks wired by the System
+        self.on_initialized = None   # fn(frame1, frame2, matches, init_result)
+        self.on_new_keyframe = None  # fn(frame)
+
+    def _compute_bounds(self):
+        """Undistorted image bounds (Frame.cc:321-349)."""
+        cfg = self.cfg
+        corners = np.array(
+            [[0, 0], [cfg.width, 0], [0, cfg.height], [cfg.width, cfg.height]],
+            np.float32,
+        )
+        if np.any(cfg.dist4 != 0):
+            from ..geometry.camera import undistort_points
+
+            und = np.asarray(
+                undistort_points(jnp.array(corners), jnp.array(cfg.K4), jnp.array(cfg.dist4))
+            )
+        else:
+            und = corners
+        return np.array(
+            [und[:, 0].min(), und[:, 0].max(), und[:, 1].min(), und[:, 1].max()],
+            np.float32,
+        )
+
+    def _next_key(self):
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # main entry
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame: Frame) -> TrackState:
+        """One tracking step. Returns the post-step state; on success
+        frame.R/frame.t hold the world->camera pose."""
+        if self.state == TrackState.NO_IMAGES_YET:
+            self.state = TrackState.NOT_INITIALIZED
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._first_initialization(frame)
+        elif self.state == TrackState.INITIALIZING:
+            self._try_initialize(frame)
+        else:
+            ok = False
+            if self.state == TrackState.WORKING:
+                ok = self._track_frame(frame)
+                if ok:
+                    ok = self._track_local_map(frame)
+            elif self.state == TrackState.LOST:
+                ok = self._relocalize(frame)
+                if ok:
+                    ok = self._track_local_map(frame)
+
+            if ok:
+                self.state = TrackState.WORKING
+                if self._need_new_keyframe(frame):
+                    self._create_keyframe(frame)
+                # motion model velocity (Tracking.cc:297-310)
+                if self.last_frame is not None and self.last_frame.R is not None:
+                    Rl, tl = se3.inverse(
+                        jnp.array(self.last_frame.R), jnp.array(self.last_frame.t)
+                    )
+                    Rv, tv = se3.compose(jnp.array(frame.R), jnp.array(frame.t), Rl, tl)
+                    self.velocity = (np.asarray(Rv), np.asarray(tv))
+            else:
+                self.state = TrackState.LOST
+                self.velocity = None
+
+        self.last_frame = frame
+        return self.state
+
+    # ------------------------------------------------------------------
+    # initialization (Tracking.cc:360-420 + CreateInitialMap :422-524)
+    # ------------------------------------------------------------------
+
+    def _first_initialization(self, frame: Frame):
+        if frame.n_valid > 100:
+            self.init_frame = frame
+            self.state = TrackState.INITIALIZING
+
+    def _try_initialize(self, frame: Frame):
+        f0 = self.init_frame
+        if frame.n_valid <= 100:
+            self.state = TrackState.NOT_INITIALIZED
+            return
+        # level-0 window search (SearchForInitialization, win 100, ratio 0.9)
+        m = _window_search(
+            jnp.array(f0.desc), jnp.array(f0.xy_un), jnp.array(f0.angle), jnp.array(f0.valid),
+            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.angle),
+            jnp.array(frame.level), jnp.array(frame.valid),
+            window_px=100.0, max_dist=50, nn_ratio=0.9,
+            min_level=0, max_level=0, check_rotation=True,
+        )
+        mask = np.asarray(m.mask) & (np.asarray(f0.level) == 0)
+        n_matches = int(mask.sum())
+        if n_matches < 100:
+            self.state = TrackState.NOT_INITIALIZED
+            return
+        idx = np.asarray(m.idx)
+        uv2 = frame.xy_un[idx]
+        res = _init(
+            self._next_key(), jnp.array(f0.xy_un), jnp.array(uv2), jnp.array(mask),
+            jnp.array(self.cfg.K4),
+        )
+        if not bool(res.success):
+            return  # keep trying with the same init frame
+        if self.on_initialized is not None:
+            self.on_initialized(f0, frame, (idx, mask), res)
+
+    # ------------------------------------------------------------------
+    # frame-to-frame tracking
+    # ------------------------------------------------------------------
+
+    def _predict_pose(self):
+        lf = self.last_frame
+        if self.velocity is not None and self.cfg.use_motion_model:
+            Rv, tv = self.velocity
+            R, t = se3.compose(jnp.array(Rv), jnp.array(tv), jnp.array(lf.R), jnp.array(lf.t))
+            return np.asarray(R), np.asarray(t)
+        return lf.R.copy(), lf.t.copy()
+
+    def _track_frame(self, frame: Frame) -> bool:
+        """Motion-model projection search, window-search fallback
+        (TrackWithMotionModel :594-628 / TrackPreviousFrame :526-592)."""
+        lf = self.last_frame
+        if lf is None or lf.R is None:
+            return False
+        R0, t0 = self._predict_pose()
+
+        lp = lf.point.copy()
+        lp[lf.outlier] = -1
+        has_pt = lp >= 0
+        mp = np.clip(lp, 0, self.map.max_mp - 1)
+        # generation check: mapping may have culled a point and recycled its
+        # slot since the last frame was tracked — a stale association must
+        # not silently bind to the slot's new occupant
+        valid_q = has_pt & self.map.mp_valid[mp] & (self.map.mp_gen[mp] == lf.point_gen)
+        xw = self.map.mp_xyz[mp]
+        desc_q = self.map.mp_desc[mp]
+
+        # project with predicted pose
+        xc = xw @ R0.T + t0
+        z = xc[:, 2]
+        uv_proj = np.stack(
+            [
+                self.cfg.fx * xc[:, 0] / np.maximum(z, 1e-9) + self.cfg.cx,
+                self.cfg.fy * xc[:, 1] / np.maximum(z, 1e-9) + self.cfg.cy,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        valid_q &= z > 0
+
+        m = _search_proj(
+            jnp.array(desc_q), jnp.array(uv_proj), jnp.array(lf.level), jnp.array(valid_q),
+            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.level),
+            jnp.array(frame.valid), jnp.array(self.cfg.scale_factors),
+            radius=15.0, max_dist=100, nn_ratio=0.9, level_window=(-1, 1),
+        )
+        mmask = np.asarray(m.mask)
+        midx = np.asarray(m.idx)
+        if mmask.sum() < 20:
+            # fallback: wider window search against the last frame's points
+            m = _window_search(
+                jnp.array(desc_q), jnp.array(lf.xy_un), jnp.array(lf.angle), jnp.array(valid_q),
+                jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.angle),
+                jnp.array(frame.level), jnp.array(frame.valid),
+                window_px=200.0, max_dist=100, nn_ratio=0.9,
+                min_level=0, max_level=self.cfg.n_levels - 1, check_rotation=True,
+            )
+            mmask = np.asarray(m.mask)
+            midx = np.asarray(m.idx)
+            if mmask.sum() < 20:
+                return False
+
+        frame.point[:] = -1
+        frame.point[midx[mmask]] = lp[mmask]
+        frame.point_gen[midx[mmask]] = self.map.mp_gen[lp[mmask]]
+        return self._optimize_frame_pose(frame, R0, t0, min_inliers=10)
+
+    def _optimize_frame_pose(self, frame: Frame, R0, t0, min_inliers=10) -> bool:
+        has = frame.point >= 0
+        mp = np.clip(frame.point, 0, self.map.max_mp - 1)
+        valid = has & self.map.mp_valid[mp]
+        xw = self.map.mp_xyz[mp]
+        w = self.cfg.inv_sigma2[np.clip(frame.level, 0, self.cfg.n_levels - 1)]
+        res = pose_opt.optimize_pose(
+            jnp.array(R0), jnp.array(t0), jnp.array(xw), jnp.array(frame.xy_un),
+            jnp.array(w.astype(np.float32)), jnp.array(valid), jnp.array(self.cfg.K4),
+        )
+        inliers = np.asarray(res.inliers)
+        frame.outlier = valid & ~inliers
+        frame.point[~valid] = -1
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        self.n_inliers = int(res.n_inliers)
+        return self.n_inliers >= min_inliers
+
+    # ------------------------------------------------------------------
+    # local map tracking (TrackLocalMap :630-662)
+    # ------------------------------------------------------------------
+
+    def _local_keyframes(self, frame: Frame) -> np.ndarray:
+        """K1 = KFs sharing points with the frame; K2 = their top covisible
+        neighbors (UpdateReferenceKeyFrames, Tracking.cc:804-860)."""
+        has = (frame.point >= 0) & ~frame.outlier
+        pts = frame.point[has]
+        votes = np.zeros(self.map.max_kf, np.int64)
+        for p in pts:
+            obs = self.map.mp_obs_kf[p]
+            votes[obs[obs >= 0]] += 1
+        k1 = np.nonzero(votes)[0]
+        if len(k1) == 0:
+            return k1
+        self.ref_kf = int(votes.argmax())
+        covis = self.map.covisibility()
+        k2 = set(k1.tolist())
+        for k in k1:
+            row = covis[k].copy()
+            row[~self.map.kf_valid] = 0
+            row[k] = 0
+            top = np.argsort(-row)[:10]
+            k2.update(int(x) for x in top if row[x] > 0)
+            parent = self.map.kf_parent[k]
+            if parent >= 0:
+                k2.add(int(parent))
+            if len(k2) > 80:
+                break
+        return np.array(sorted(k2), np.int64)
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        local_kfs = self._local_keyframes(frame)
+        if len(local_kfs) == 0:
+            return False
+        # local points (UpdateReferencePoints :775-802)
+        pts = np.unique(self.map.kf_point[local_kfs])
+        pts = pts[pts >= 0]
+        pts = pts[self.map.mp_valid[pts]]
+        if len(pts) == 0:
+            return False
+        if len(pts) > MAX_LOCAL_POINTS:
+            pts = pts[:MAX_LOCAL_POINTS]
+        pad = MAX_LOCAL_POINTS - len(pts)
+        pts_pad = np.concatenate([pts, np.zeros(pad, np.int64)])
+        pvalid = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
+
+        ok, uv, _, view_cos, dist = _frustum(
+            jnp.array(self.map.mp_xyz[pts_pad]),
+            jnp.array(frame.R), jnp.array(frame.t), jnp.array(self.cfg.K4),
+            jnp.array(self.bounds),
+            jnp.array(self.map.mp_normal[pts_pad]),
+            jnp.array(self.map.mp_min_dist[pts_pad] * 0.8),
+            jnp.array(self.map.mp_max_dist[pts_pad] * 1.2),
+        )
+        ok = np.asarray(ok) & pvalid
+        # visibility statistics (Frame::isInFrustum -> IncreaseVisible)
+        self.map.mp_visible[pts_pad[ok]] += 1
+
+        # exclude points already matched in this frame
+        already = np.isin(pts_pad, frame.point[frame.point >= 0])
+        q_valid = ok & ~already
+
+        pred = predict_scale_level(
+            np.asarray(dist), self.map.mp_max_dist[pts_pad],
+            self.cfg.scale_factor, self.cfg.n_levels,
+        )
+        # radius by viewing cos (ORBmatcher.cc:127-134): 2.5 or 4.0
+        th = np.where(np.asarray(view_cos) > 0.998, 2.5, 4.0).astype(np.float32)
+        if frame.frame_id < self.last_reloc_frame_id + 2:
+            th = th * 5.0  # wider search right after relocalization
+
+        m = _search_proj(
+            jnp.array(self.map.mp_desc[pts_pad]), jnp.asarray(uv), jnp.array(pred),
+            jnp.array(q_valid),
+            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.level),
+            jnp.array(frame.valid & (frame.point < 0)),
+            jnp.array(self.cfg.scale_factors),
+            radius=jnp.array(th), max_dist=100, nn_ratio=0.8, level_window=(-1, 1),
+        )
+        mmask = np.asarray(m.mask)
+        midx = np.asarray(m.idx)
+        frame.point[midx[mmask]] = pts_pad[mmask]
+        frame.point_gen[midx[mmask]] = self.map.mp_gen[pts_pad[mmask]]
+
+        ok_pose = self._optimize_frame_pose(frame, frame.R, frame.t, min_inliers=10)
+        # found statistics for inlier points (Tracking.cc:646-655)
+        inl = (frame.point >= 0) & ~frame.outlier
+        self.map.mp_found[frame.point[inl]] += 1
+
+        min_needed = 50 if frame.frame_id < self.last_reloc_frame_id + self.cfg.max_frames else 30
+        return ok_pose and self.n_inliers >= min_needed
+
+    # ------------------------------------------------------------------
+    # keyframe decision (NeedNewKeyFrame :665-703)
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        if self.ref_kf < 0:
+            return False
+        if frame.frame_id < self.last_reloc_frame_id + self.cfg.max_frames:
+            return False
+        n_kf = int(self.map.kf_valid.sum())
+        ref_matches = int((self.map.kf_point[self.ref_kf] >= 0).sum())
+        c1 = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
+        c2 = self.n_inliers < 0.9 * ref_matches and self.n_inliers > 15
+        if n_kf <= 2:
+            return c1 or c2
+        return (c1 or c2) and self.n_inliers >= 15
+
+    def _create_keyframe(self, frame: Frame):
+        if self.on_new_keyframe is not None:
+            self.on_new_keyframe(frame)
+        self.last_kf_frame_id = frame.frame_id
+
+    # ------------------------------------------------------------------
+    # relocalization (Relocalisation :881-1050)
+    # ------------------------------------------------------------------
+
+    def _relocalize(self, frame: Frame) -> bool:
+        if self.kfdb is None:
+            return False
+        qbow = self.kfdb.query_bow(frame.desc, frame.valid)
+        self.kfdb.set_covisibility(self.map.covisibility())
+        cands = self.kfdb.detect_reloc_candidates(qbow)
+        for kf in cands:
+            m = _mutual(
+                jnp.array(frame.desc), jnp.array(frame.angle), jnp.array(frame.valid),
+                jnp.array(self.map.kf_desc[kf]), jnp.array(self.map.kf_angle[kf]),
+                jnp.array(self.map.kf_feat_valid[kf] & (self.map.kf_point[kf] >= 0)),
+                max_dist=50, nn_ratio=0.75, check_rotation=True,
+            )
+            mask = np.asarray(m.mask)
+            if mask.sum() < 15:
+                continue
+            idx = np.asarray(m.idx)
+            mp = np.where(mask, self.map.kf_point[kf][idx], -1)
+            valid = mp >= 0
+            xw = self.map.mp_xyz[np.clip(mp, 0, self.map.max_mp - 1)]
+            max_err = 5.991 * self.cfg.sigma2[np.clip(frame.level, 0, self.cfg.n_levels - 1)]
+            res = _pnp(
+                self._next_key(), jnp.array(xw), jnp.array(frame.xy_un),
+                jnp.array(valid), jnp.array(self.cfg.K4),
+                jnp.array(max_err.astype(np.float32)),
+            )
+            if not bool(res.success):
+                continue
+            frame.point[:] = -1
+            sel = valid & np.asarray(res.inliers)
+            frame.point[sel] = mp[sel]
+            frame.point_gen[sel] = self.map.mp_gen[mp[sel]]
+            if self._optimize_frame_pose(frame, np.asarray(res.R), np.asarray(res.t), min_inliers=10):
+                if self.n_inliers >= 50 or self._reloc_refine(frame, kf):
+                    self.last_reloc_frame_id = frame.frame_id
+                    return True
+        return False
+
+    def _reloc_refine(self, frame: Frame, kf: int) -> bool:
+        """Projection-search ladder after a weak PnP (Tracking.cc:988-1027)."""
+        pts = self.map.kf_point[kf]
+        q = pts.copy()
+        valid_q = (q >= 0)
+        mpid = np.clip(q, 0, self.map.max_mp - 1)
+        xw = self.map.mp_xyz[mpid]
+        xc = xw @ frame.R.T + frame.t
+        z = xc[:, 2]
+        uv_proj = np.stack(
+            [
+                self.cfg.fx * xc[:, 0] / np.maximum(z, 1e-9) + self.cfg.cx,
+                self.cfg.fy * xc[:, 1] / np.maximum(z, 1e-9) + self.cfg.cy,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        valid_q &= (z > 0) & self.map.mp_valid[mpid]
+        m = _search_proj(
+            jnp.array(self.map.mp_desc[mpid]), jnp.array(uv_proj),
+            jnp.array(self.map.kf_level[kf]), jnp.array(valid_q),
+            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.level),
+            jnp.array(frame.valid), jnp.array(self.cfg.scale_factors),
+            radius=10.0, max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
+        )
+        mmask = np.asarray(m.mask)
+        midx = np.asarray(m.idx)
+        frame.point[midx[mmask]] = q[mmask]
+        frame.point_gen[midx[mmask]] = self.map.mp_gen[q[mmask]]
+        ok = self._optimize_frame_pose(frame, frame.R, frame.t, min_inliers=10)
+        return ok and self.n_inliers >= 50
+
+    def force_relocalization(self):
+        """LoopClosing tells the tracker the map moved under it
+        (Tracking::ForceRelocalisation, Tracking.cc:1052-1064)."""
+        self.state = TrackState.LOST
+        self.velocity = None

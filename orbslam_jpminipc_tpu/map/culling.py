@@ -1,0 +1,74 @@
+"""Map maintenance culling rules.
+
+Mirrors LocalMapping::MapPointCulling (src/LocalMapping.cc:197-225) and
+LocalMapping::KeyFrameCulling (:546-600) as batch passes over the SoA map.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .map_state import MapState
+
+
+def cull_recent_points(state: MapState, recent_ids: list[int], current_kf_id: int) -> list[int]:
+    """Prune recently created points (LocalMapping.cc:197-225).
+
+    A recent point is erased if its found-ratio < 0.25, or it is >= 2
+    keyframes old but has <= 2 observations. Points >= 3 keyframes old
+    graduate out of the probation list. Returns the surviving probation list.
+    """
+    keep = []
+    for entry in recent_ids:
+        mp, gen = entry
+        if not state.mp_valid[mp] or state.mp_gen[mp] != gen:
+            continue
+        found_ratio = state.mp_found[mp] / max(state.mp_visible[mp], 1)
+        age = current_kf_id - state.mp_first_kf[mp]
+        nobs = state.n_observations(mp)
+        if found_ratio < 0.25:
+            state.erase_point(mp)
+        elif age >= 2 and nobs <= 2:
+            state.erase_point(mp)
+        elif age >= 3:
+            pass  # graduated
+        else:
+            keep.append((mp, gen))
+    return keep
+
+
+def cull_redundant_keyframes(state: MapState, candidates: np.ndarray,
+                             redundancy: float = 0.9) -> list[int]:
+    """Erase keyframes whose points are >= 90% covered by >= 3 other
+    keyframes at the same or finer pyramid level (LocalMapping.cc:546-600).
+
+    candidates: KF ids to consider (the reference checks the current KF's
+    covisible keyframes). Returns the erased ids.
+    """
+    erased = []
+    for k in candidates:
+        k = int(k)
+        if not state.kf_valid[k]:
+            continue
+        feats = np.nonzero(state.kf_point[k] >= 0)[0]
+        if len(feats) == 0:
+            continue
+        n_redundant = 0
+        for f in feats:
+            mp = int(state.kf_point[k, f])
+            level = int(state.kf_level[k, f])
+            n_better = 0
+            for s in np.nonzero(state.mp_obs_kf[mp] >= 0)[0]:
+                okf = int(state.mp_obs_kf[mp, s])
+                if okf == k:
+                    continue
+                of = int(state.mp_obs_feat[mp, s])
+                if state.kf_level[okf, of] <= level + 1:
+                    n_better += 1
+                    if n_better >= 3:
+                        break
+            if n_better >= 3:
+                n_redundant += 1
+        if n_redundant > redundancy * len(feats):
+            state.erase_keyframe(k)
+            erased.append(k)
+    return erased

@@ -1,0 +1,218 @@
+"""The SLAM system orchestrator.
+
+Replaces src/main.cc (259 LoC): constructs the map, keyframe database,
+tracker, local mapper and loop closer, wires them together, and exposes a
+per-frame `process()`. Instead of three mutex-synchronized threads
+(main.cc:165-218), stages run deterministically: tracking per frame,
+mapping + loop closing per new keyframe. The keyframe trajectory dump
+(main.cc:226-245, TUM format) and the world checkpoint hooks
+(main.cc:143, 249) live here too.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..frontend.frame import Frame, build_frame
+from ..frontend.tracking import Tracker, TrackState
+from ..map.map_state import MapState
+from ..map.keyframe_db import KeyFrameDatabase
+from ..solvers import ba
+from ..vocab.vocabulary import Vocabulary
+from .local_mapping import LocalMapper
+from .loop_closing import LoopCloser
+
+
+class Slam:
+    def __init__(self, cfg: SlamConfig, vocab: Vocabulary | None = None,
+                 enable_loop_closing: bool = True):
+        self.cfg = cfg
+        # keyframe feature arrays sized for the 2x init extractor output
+        self.map = MapState.create(cfg.max_kf, cfg.max_mp, 2 * cfg.n_features, cfg.max_obs)
+        self.kfdb = KeyFrameDatabase(vocab, cfg.max_kf) if vocab is not None else None
+        self.tracker = Tracker(cfg, self.map, self.kfdb)
+        self.mapper = LocalMapper(cfg, self.map, self.kfdb)
+        self.loop_closer = (
+            LoopCloser(cfg, self.map, self.kfdb)
+            if (vocab is not None and enable_loop_closing)
+            else None
+        )
+        self.tracker.on_initialized = self._create_initial_map
+        self.tracker.on_new_keyframe = self._on_new_keyframe
+        self.frame_count = 0
+        self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+
+    def process(self, image: np.ndarray, timestamp: float = 0.0) -> tuple[TrackState, Frame]:
+        # double feature budget until the map is initialized (the reference
+        # builds a dedicated 2x-features extractor for init, Tracking.cc:126)
+        initializing = self.tracker.state in (
+            TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED, TrackState.INITIALIZING
+        )
+        n_features = 2 * self.cfg.n_features if initializing else self.cfg.n_features
+        frame = build_frame(
+            image, self.cfg, frame_id=self.frame_count, timestamp=timestamp,
+            n_features=n_features,
+        )
+        self.frame_count += 1
+        state = self.tracker.process_frame(frame)
+        if frame.R is not None:
+            self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
+        # auto-reset shortly after a failed start (Tracking.cc:287-294)
+        if state == TrackState.LOST and int(self.map.kf_valid.sum()) <= 5 and int(self.map.kf_valid.sum()) > 0:
+            if frame.frame_id < 50:
+                self.reset()
+        return state, frame
+
+    def reset(self):
+        """Full reset (Tracking::Reset, Tracking.cc:1066-1103)."""
+        cfg = self.cfg
+        self.map = MapState.create(cfg.max_kf, cfg.max_mp, 2 * cfg.n_features, cfg.max_obs)
+        if self.kfdb is not None:
+            self.kfdb.clear()
+        self.tracker.map = self.map
+        self.tracker.state = TrackState.NOT_INITIALIZED
+        self.tracker.velocity = None
+        self.tracker.last_frame = None
+        self.tracker.init_frame = None
+        self.tracker.ref_kf = -1
+        self.mapper.map = self.map
+        self.mapper.probation = []
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.map
+            self.loop_closer.consistent_groups = []
+
+    # ------------------------------------------------------------------
+    # initial map (Tracking::CreateInitialMap, Tracking.cc:422-524)
+    # ------------------------------------------------------------------
+
+    def _create_initial_map(self, f0: Frame, f1: Frame, match_info, init_res):
+        idx, mask = match_info
+        st, cfg = self.map, self.cfg
+        good = np.asarray(init_res.good) & mask
+        if good.sum() < 50:
+            return
+        R21 = np.asarray(init_res.R)
+        t21 = np.asarray(init_res.t)
+        pts3d = np.asarray(init_res.points)
+
+        f0.R, f0.t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        f1.R, f1.t = R21.astype(np.float32), t21.astype(np.float32)
+
+        kf0 = st.add_keyframe(
+            f0.R, f0.t, f0.xy_un, f0.level, f0.angle, f0.desc, f0.valid,
+            frame_id=f0.frame_id, timestamp=f0.timestamp,
+        )
+        kf1 = st.add_keyframe(
+            f1.R, f1.t, f1.xy_un, f1.level, f1.angle, f1.desc, f1.valid,
+            frame_id=f1.frame_id, timestamp=f1.timestamp,
+        )
+        feats0 = np.nonzero(good)[0]
+        ids = st.add_points(
+            pts3d[feats0], f0.desc[feats0], ref_kf=kf1, first_kf_id=st.next_kf_id - 1
+        )
+        for mp, fi in zip(ids, feats0):
+            st.add_observation(int(mp), kf0, int(fi))
+            st.add_observation(int(mp), kf1, int(idx[fi]))
+        st.update_point_attributes(ids, cfg.scale_factors)
+
+        # global BA on the 2-KF map (Tracking.cc:476)
+        self._two_frame_global_ba(kf0, kf1, ids)
+
+        # gauge: scale to unit median depth (Tracking.cc:479-503)
+        xc = st.mp_xyz[ids] @ st.kf_R[kf1].T + st.kf_t[kf1]
+        med = float(np.median(xc[:, 2]))
+        if med <= 0 or (~st.mp_valid[ids]).all():
+            # degenerate: roll back (Tracking.cc:482-487)
+            self.reset()
+            return
+        st.kf_t[kf1] /= med
+        st.mp_xyz[ids] /= med
+
+        if self.kfdb is not None:
+            self.kfdb.add(kf0, st.kf_desc[kf0], st.kf_feat_valid[kf0])
+            self.kfdb.add(kf1, st.kf_desc[kf1], st.kf_feat_valid[kf1])
+        covis = st.covisibility()
+        st.update_spanning_tree(kf1, covis[kf1])
+
+        # frame bookkeeping -> WORKING
+        f1.point[:] = -1
+        f1.point[idx[feats0]] = ids
+        f1.point_gen[idx[feats0]] = st.mp_gen[ids]
+        f1.R, f1.t = st.kf_R[kf1].copy(), st.kf_t[kf1].copy()
+        tr = self.tracker
+        tr.ref_kf = kf1
+        tr.last_kf_frame_id = f1.frame_id
+        tr.state = TrackState.WORKING
+        self.mapper.probation.extend((int(i), int(st.mp_gen[i])) for i in ids)
+
+    def _two_frame_global_ba(self, kf0: int, kf1: int, ids: np.ndarray, iters: int = 20):
+        st, cfg = self.map, self.cfg
+        P = 1 << int(np.ceil(np.log2(max(len(ids), 2))))
+        points = np.zeros((P, 3), np.float32)
+        points[: len(ids)] = st.mp_xyz[ids]
+        pvalid = np.zeros(P, bool)
+        pvalid[: len(ids)] = True
+        O = 2 * P
+        obs_kf = np.zeros(O, np.int32)
+        obs_pt = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_w = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        n = 0
+        for i, p in enumerate(ids):
+            for s in np.nonzero(st.mp_obs_kf[p] >= 0)[0]:
+                k = int(st.mp_obs_kf[p, s])
+                f = int(st.mp_obs_feat[p, s])
+                obs_kf[n] = 0 if k == kf0 else 1
+                obs_pt[n] = i
+                obs_uv[n] = st.kf_xy[k, f]
+                obs_w[n] = cfg.inv_sigma2[min(int(st.kf_level[k, f]), cfg.n_levels - 1)]
+                obs_valid[n] = True
+                n += 1
+        prob = ba.BAProblem(
+            kf_R=jnp.array(np.stack([st.kf_R[kf0], st.kf_R[kf1]])),
+            kf_t=jnp.array(np.stack([st.kf_t[kf0], st.kf_t[kf1]])),
+            kf_fixed=jnp.array([True, False]),
+            points=jnp.array(points), point_valid=jnp.array(pvalid),
+            obs_kf=jnp.array(obs_kf), obs_pt=jnp.array(obs_pt),
+            obs_uv=jnp.array(obs_uv), obs_w=jnp.array(obs_w),
+            obs_valid=jnp.array(obs_valid), K4=jnp.array(cfg.K4),
+        )
+        res = ba.bundle_adjust(prob, iterations=iters)
+        st.kf_R[kf1] = np.asarray(res.kf_R[1])
+        st.kf_t[kf1] = np.asarray(res.kf_t[1])
+        st.mp_xyz[ids] = np.asarray(res.points[: len(ids)])
+
+    # ------------------------------------------------------------------
+
+    def _on_new_keyframe(self, frame: Frame):
+        kf = self.mapper.process(frame)
+        self.tracker.ref_kf = kf
+        if self.loop_closer is not None:
+            if self.loop_closer.process(kf):
+                self.n_loops_closed += 1
+                self.tracker.force_relocalization()
+
+    # ------------------------------------------------------------------
+
+    def keyframe_trajectory(self) -> list[tuple[float, np.ndarray, np.ndarray]]:
+        """Keyframe poses in TUM order (main.cc:226-245)."""
+        st = self.map
+        out = []
+        order = np.argsort(st.kf_timestamp)
+        for k in order:
+            if st.kf_valid[k]:
+                out.append((float(st.kf_timestamp[k]), st.kf_R[k].copy(), st.kf_t[k].copy()))
+        return out
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.map.kf_valid.sum())
+
+    @property
+    def n_points(self) -> int:
+        return int(self.map.mp_valid.sum())

@@ -1,0 +1,118 @@
+"""Binary-descriptor vocabulary: build (k-medians), transform, L1 score.
+
+Replaces DBoW2 TemplatedVocabulary (Thirdparty/DBoW2/DBoW2/
+TemplatedVocabulary.h): its hierarchical k-means++ `create` (:570-760, with
+FORB::meanValue bit-majority centroids, FORB.cpp:28-77) becomes a flat
+Hamming k-medians; its greedy tree `transform` (:1216-1260) becomes an
+exact nearest-word assignment via one int8 matmul; scoring is the same
+L1 metric s = 1 - 0.5 |v - w|_1 on L1-normalized tf-idf vectors
+(ScoringObject.cpp:30-68).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.hamming import hamming_matrix, unpack_bits
+
+
+class Vocabulary(NamedTuple):
+    words: jax.Array    # (W, 32) uint8 — word centroid descriptors
+    idf: jax.Array      # (W,) float32 — inverse document frequency weights
+
+    @property
+    def n_words(self):
+        return self.words.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nearest_word(desc: jax.Array, words: jax.Array) -> jax.Array:
+    """(N, 32) uint8 -> (N,) int32 exact nearest word id."""
+    return jnp.argmin(hamming_matrix(desc, words), axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def transform(desc: jax.Array, valid: jax.Array, vocab: Vocabulary) -> jax.Array:
+    """Descriptors -> dense L1-normalized tf-idf BoW vector (W,)."""
+    wid = nearest_word(desc, vocab.words)
+    W = vocab.words.shape[0]
+    hist = jnp.zeros((W,), jnp.float32).at[wid].add(valid.astype(jnp.float32))
+    v = hist * vocab.idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-12)
+
+
+@jax.jit
+def score_l1(v: jax.Array, db: jax.Array) -> jax.Array:
+    """L1 similarity of a query vector vs a database matrix (K, W):
+    s = 1 - 0.5 |v - w|_1 in [0, 1] for L1-normalized inputs."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)
+
+
+def _majority_centroids(bits: np.ndarray, assign: np.ndarray, k: int) -> np.ndarray:
+    """Bit-majority centroid per cluster (FORB::meanValue semantics)."""
+    sums = np.zeros((k, 256), np.int64)
+    counts = np.zeros(k, np.int64)
+    np.add.at(sums, assign, bits)
+    np.add.at(counts, assign, 1)
+    maj = (sums * 2 > counts[:, None]).astype(np.uint8)
+    return maj, counts
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(N, 256) {0,1} -> (N, 32) uint8, LSB-first (matches unpack_bits)."""
+    return (bits.reshape(-1, 32, 8) << np.arange(8)).sum(-1).astype(np.uint8)
+
+
+def build_vocabulary(
+    descriptors: np.ndarray,
+    n_words: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+) -> Vocabulary:
+    """Flat Hamming k-medians with k-means++-style seeding.
+
+    descriptors: (N, 32) uint8 training set (N >> n_words). The assignment
+    step runs on device (Hamming matmul); centroid updates are host numpy.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(descriptors)
+    n_words = min(n_words, n)
+    bits = np.asarray(unpack_bits(jnp.array(descriptors))).astype(np.uint8)
+
+    # seeding: random distinct samples (k-means++ with Hamming would cost
+    # O(N k) distance passes; random init + iterations converges similarly
+    # for the large, near-uniform binary sets used here)
+    centroids = descriptors[rng.choice(n, n_words, replace=False)].copy()
+
+    assign_fn = jax.jit(lambda d, w: jnp.argmin(hamming_matrix(d, w), axis=1))
+    for _ in range(iters):
+        assign = np.asarray(assign_fn(jnp.array(descriptors), jnp.array(centroids)))
+        maj, counts = _majority_centroids(bits, assign, n_words)
+        # re-seed empty clusters from random points
+        empty = np.nonzero(counts == 0)[0]
+        if len(empty):
+            maj[empty] = bits[rng.choice(n, len(empty))]
+        new_centroids = _pack_bits(maj)
+        if (new_centroids == centroids).all():
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+
+    # idf from the training corpus (TemplatedVocabulary::setNodeWeights)
+    assign = np.asarray(assign_fn(jnp.array(descriptors), jnp.array(centroids)))
+    df = np.bincount(assign, minlength=n_words).astype(np.float64)
+    idf = np.log(n / np.maximum(df, 1.0)).astype(np.float32)
+    return Vocabulary(words=jnp.array(centroids), idf=jnp.array(idf))
+
+
+def save_vocabulary(vocab: Vocabulary, path: str):
+    np.savez_compressed(path, words=np.asarray(vocab.words), idf=np.asarray(vocab.idf))
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(words=jnp.array(z["words"]), idf=jnp.array(z["idf"]))
