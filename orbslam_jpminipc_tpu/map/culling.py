@@ -42,8 +42,19 @@ def cull_redundant_keyframes(state: MapState, candidates: np.ndarray,
     keyframes at the same or finer pyramid level (LocalMapping.cc:546-600).
 
     candidates: KF ids to consider (the reference checks the current KF's
-    covisible keyframes). Returns the erased ids.
+    covisible keyframes). Returns the erased ids. Uses the native (C++)
+    map-graph runtime when available; the Python loop below is the
+    fallback and the reference implementation for tests.
     """
+    from ..native import cull_redundant_keyframes_native
+
+    native = cull_redundant_keyframes_native(state, candidates, redundancy)
+    if native is not None:
+        return native
+    return _cull_redundant_keyframes_py(state, candidates, redundancy)
+
+
+def _cull_redundant_keyframes_py(state: MapState, candidates, redundancy=0.9):
     erased = []
     for k in candidates:
         k = int(k)

@@ -1,0 +1,222 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+Design (SURVEY.md §7.10, BASELINE.json config 5): shard map POINTS and
+their observations across devices; keep camera (keyframe) state replicated.
+Per LM iteration, each device:
+
+  1. computes residuals/Jacobians for ITS observations,
+  2. accumulates its partial camera Hessian blocks Hcc, gradient bc,
+  3. inverts its own 3x3 point blocks and forms its partial Schur
+     complement contribution S_part = sum_p A_p U_p A_p^T,
+  4. one `psum` over the mesh combines {Hcc, bc, S, rhs} — the only
+     communication, sized O(K^2 * 36), riding ICI,
+  5. solves the reduced camera system replicated (identical on all
+     devices — camera count << point count), and
+  6. back-substitutes its own point deltas locally.
+
+This mirrors how the reference's g2o BlockSolver marginalizes landmark
+blocks (block_solver.h:144-157) — except the elimination is a batched
+einsum and the "sparse assembly" is a psum.
+
+The observation arrays are grouped by point shard on the host
+(shard_ba_problem), so device-local obs reference device-local points.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..solvers.ba import BAProblem, _inv3
+from ..solvers.reproj import residuals, jacobians, huber_weight, CHI2_MONO
+from ..geometry.se3 import exp_se3, compose
+
+
+class ShardedBAProblem(NamedTuple):
+    """Point/observation arrays carry a leading shard axis (n_shards, ...).
+
+    Camera arrays are replicated (no shard axis). obs_pt indexes into the
+    LOCAL point block of its shard.
+    """
+
+    kf_R: jax.Array        # (K, 3, 3)
+    kf_t: jax.Array        # (K, 3)
+    kf_fixed: jax.Array    # (K,)
+    points: jax.Array      # (S, Pl, 3)
+    point_valid: jax.Array # (S, Pl)
+    obs_kf: jax.Array      # (S, Ol)
+    obs_pt: jax.Array      # (S, Ol) — local point index
+    obs_uv: jax.Array      # (S, Ol, 2)
+    obs_w: jax.Array       # (S, Ol)
+    obs_valid: jax.Array   # (S, Ol)
+    K4: jax.Array
+
+
+def shard_ba_problem(prob: BAProblem, n_shards: int) -> ShardedBAProblem:
+    """Host-side partitioning: contiguous point blocks, obs grouped along.
+
+    Pads each shard's obs list to the global maximum so shapes are uniform.
+    """
+    P_total = prob.points.shape[0]
+    Pl = -(-P_total // n_shards)
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_shard = obs_pt // Pl
+    obs_local = obs_pt - obs_shard * Pl
+    obs_valid = np.asarray(prob.obs_valid)
+
+    Ol = 0
+    per_shard = []
+    for s in range(n_shards):
+        sel = np.nonzero((obs_shard == s) & obs_valid)[0]
+        per_shard.append(sel)
+        Ol = max(Ol, len(sel))
+    Ol = max(Ol, 8)
+
+    def gather(arr, fill=0):
+        arr = np.asarray(arr)
+        out = np.full((n_shards, Ol) + arr.shape[1:], fill, arr.dtype)
+        for s, sel in enumerate(per_shard):
+            out[s, : len(sel)] = arr[sel]
+        return out
+
+    pts = np.zeros((n_shards, Pl, 3), np.float32)
+    pv = np.zeros((n_shards, Pl), bool)
+    flat_pts = np.asarray(prob.points)
+    flat_pv = np.asarray(prob.point_valid)
+    for s in range(n_shards):
+        lo, hi = s * Pl, min((s + 1) * Pl, P_total)
+        pts[s, : hi - lo] = flat_pts[lo:hi]
+        pv[s, : hi - lo] = flat_pv[lo:hi]
+
+    return ShardedBAProblem(
+        kf_R=prob.kf_R, kf_t=prob.kf_t, kf_fixed=prob.kf_fixed,
+        points=jnp.array(pts), point_valid=jnp.array(pv),
+        obs_kf=jnp.array(gather(prob.obs_kf)),
+        obs_pt=jnp.array(gather(obs_local)),
+        obs_uv=jnp.array(gather(prob.obs_uv)),
+        obs_w=jnp.array(gather(prob.obs_w)),
+        obs_valid=jnp.array(gather(np.ones_like(obs_valid))) > 0,
+        K4=prob.K4,
+    )
+
+
+def sharded_bundle_adjust(
+    sprob: ShardedBAProblem, mesh: Mesh, iterations: int = 10, axis: str = "points"
+):
+    """LM bundle adjustment with point blocks sharded over `mesh`.
+
+    Returns (kf_R, kf_t, points (S, Pl, 3), chi2).
+    """
+    K = sprob.kf_R.shape[0]
+
+    def local_chi2(R, t, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid):
+        e, _ = residuals(R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, sprob.K4)
+        c = jnp.sum(e * e, axis=-1) * obs_w
+        rho = jnp.where(c <= CHI2_MONO, c, 2.0 * jnp.sqrt(CHI2_MONO * c) - CHI2_MONO)
+        return jnp.sum(jnp.where(obs_valid, rho, 0.0))
+
+    def step_fn(R, t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid, lam, chi):
+        """One LM step; runs per-device on local shards inside shard_map."""
+        Pl = pts.shape[0]
+        Rk = R[obs_kf]
+        tk = t[obs_kf]
+        xw = pts[obs_pt]
+        e, _ = residuals(Rk, tk, xw, obs_uv, sprob.K4)
+        Jc, Jp, _ = jacobians(Rk, tk, xw, sprob.K4)
+        c = jnp.sum(e * e, axis=-1) * obs_w
+        w = obs_w * huber_weight(c) * obs_valid
+        w_c = jnp.where(sprob.kf_fixed[obs_kf], 0.0, 1.0)
+        Jc = Jc * w_c[:, None, None]
+        Jc_w = Jc * w[:, None, None]
+        Jp_w = Jp * w[:, None, None]
+
+        Hcc = jnp.zeros((K, 6, 6), e.dtype).at[obs_kf].add(jnp.einsum("oij,oik->ojk", Jc_w, Jc))
+        bc = jnp.zeros((K, 6), e.dtype).at[obs_kf].add(jnp.einsum("oij,oi->oj", Jc_w, e))
+        Hll = jnp.zeros((Pl, 3, 3), e.dtype).at[obs_pt].add(jnp.einsum("oij,oik->ojk", Jp_w, Jp))
+        bp = jnp.zeros((Pl, 3), e.dtype).at[obs_pt].add(jnp.einsum("oij,oi->oj", Jp_w, e))
+        Y = jnp.einsum("oij,oik->ojk", Jc_w, Jp)
+        A = jnp.zeros((Pl, K, 6, 3), e.dtype).at[obs_pt, obs_kf].add(Y)
+
+        U = _inv3(Hll + lam * jnp.eye(3, dtype=e.dtype)[None])
+        B = jnp.einsum("pcij,pjk->pcik", A, U)
+        S_part = -jnp.einsum("pcij,pdkj->cdik", B, A)
+        rhs_part = bc - jnp.einsum("pcij,pj->ci", B, bp)
+
+        # ---- the ONE collective: combine the reduced camera system ----
+        Hcc = jax.lax.psum(Hcc, axis)
+        S = jax.lax.psum(S_part, axis)
+        rhs = jax.lax.psum(rhs_part, axis)
+
+        diag = jnp.arange(K)
+        eye6 = jnp.eye(6, dtype=e.dtype)
+        S = S.at[diag, diag].add(Hcc + lam * eye6[None])
+        fixed = sprob.kf_fixed
+        S = jnp.where(fixed[:, None, None, None] | fixed[None, :, None, None], 0.0, S)
+        S = S.at[diag, diag].add(jnp.where(fixed, 1.0, 0.0)[:, None, None] * eye6[None])
+        rhs = jnp.where(fixed[:, None], 0.0, rhs)
+
+        Smat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        delta_c = jax.scipy.linalg.solve(
+            Smat + 1e-8 * jnp.eye(K * 6, dtype=Smat.dtype), -rhs.reshape(-1),
+            assume_a="pos",
+        ).reshape(K, 6)
+
+        At_dc = jnp.einsum("pcij,ci->pj", A, delta_c)
+        delta_p = jnp.einsum("pij,pj->pi", U, -bp - At_dc)
+        delta_p = jnp.where(pv[:, None], delta_p, 0.0)
+
+        dR, dt = exp_se3(delta_c)
+        R_new, t_new = compose(dR, dt, R, t)
+        pts_new = pts + delta_p
+        chi_local = local_chi2(R_new, t_new, pts_new, obs_kf, obs_pt, obs_uv, obs_w, obs_valid)
+        chi_new = jax.lax.psum(chi_local, axis)
+        accept = chi_new < chi
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        pts = jnp.where(accept, pts_new, pts)
+        chi = jnp.where(accept, chi_new, chi)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return R, t, pts, lam, chi
+
+    def kernel(kf_R, kf_t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid):
+        # shard_map passes per-device blocks with the shard axis collapsed
+        pts = pts[0]
+        pv = pv[0]
+        obs_kf = obs_kf[0]
+        obs_pt = obs_pt[0]
+        obs_uv = obs_uv[0]
+        obs_w = obs_w[0]
+        obs_valid = obs_valid[0]
+
+        chi0 = jax.lax.psum(
+            local_chi2(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid), axis
+        )
+
+        def body(_, state):
+            R, t, p, lam, chi = state
+            return step_fn(R, t, p, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid, lam, chi)
+
+        R, t, p, _, chi = jax.lax.fori_loop(
+            0, iterations, body, (kf_R, kf_t, pts, jnp.float32(1e-4), chi0)
+        )
+        return R, t, p[None], chi
+
+    shard = P(axis)
+    rep = P()
+    f = jax.jit(
+        jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(rep, rep, shard, shard, shard, shard, shard, shard, shard),
+            out_specs=(rep, rep, shard, rep),
+            check_vma=False,
+        )
+    )
+    return f(
+        sprob.kf_R, sprob.kf_t, sprob.points, sprob.point_valid,
+        sprob.obs_kf, sprob.obs_pt, sprob.obs_uv, sprob.obs_w, sprob.obs_valid,
+    )

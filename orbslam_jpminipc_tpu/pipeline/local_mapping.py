@@ -48,10 +48,15 @@ class LocalMapper:
             frame.valid, frame_id=frame.frame_id, timestamp=frame.timestamp,
         )
         tracked = np.nonzero((frame.point >= 0) & ~frame.outlier)[0]
-        for f in tracked:
-            mp = int(frame.point[f])
-            if st.mp_valid[mp] and st.mp_gen[mp] == frame.point_gen[f]:
-                st.add_observation(mp, kf, int(f))
+        gen_ok = st.mp_gen[frame.point[tracked]] == frame.point_gen[tracked]
+        tracked = tracked[gen_ok]
+        from ..native import add_observations_native
+
+        if add_observations_native(st, kf, tracked, frame.point[tracked]) is None:
+            for f in tracked:
+                mp = int(frame.point[f])
+                if st.mp_valid[mp]:
+                    st.add_observation(mp, kf, int(f))
         st.update_point_attributes(frame.point[tracked], self.cfg.scale_factors)
         covis = st.covisibility()
         st.update_spanning_tree(kf, covis[kf])
@@ -300,22 +305,39 @@ class LocalMapper:
         obs_uv = np.zeros((O, 2), np.float32)
         obs_w = np.ones(O, np.float32)
         obs_valid = np.zeros(O, bool)
-        obs_src = []  # (mp, kf, feat) for writeback/erasure
-        n = 0
-        for p in pts:
-            pi = pt_index[int(p)]
-            for s in np.nonzero(st.mp_obs_kf[p] >= 0)[0]:
-                k = int(st.mp_obs_kf[p, s])
-                if k not in kf_index or n >= O:
-                    continue
-                f = int(st.mp_obs_feat[p, s])
-                obs_kf[n] = kf_index[k]
-                obs_pt[n] = pi
-                obs_uv[n] = st.kf_xy[k, f]
-                obs_w[n] = cfg.inv_sigma2[min(int(st.kf_level[k, f]), cfg.n_levels - 1)]
-                obs_valid[n] = True
-                obs_src.append((int(p), k, f))
-                n += 1
+        kf_index_dense = np.full(st.max_kf, -1, np.int32)
+        for k, i in kf_index.items():
+            kf_index_dense[k] = i
+        from ..native import build_ba_obs_native
+
+        native = build_ba_obs_native(st, pts, kf_index_dense, O)
+        if native is not None:
+            okf, opt, ofe, osp, osk = native
+            n = len(okf)
+            obs_kf[:n] = okf
+            obs_pt[:n] = opt
+            obs_uv[:n] = st.kf_xy[osk, ofe]
+            lv = np.clip(st.kf_level[osk, ofe], 0, cfg.n_levels - 1)
+            obs_w[:n] = cfg.inv_sigma2[lv]
+            obs_valid[:n] = True
+            obs_src = list(zip(osp.tolist(), osk.tolist(), ofe.tolist()))
+        else:
+            obs_src = []  # (mp, kf, feat) for writeback/erasure
+            n = 0
+            for p in pts:
+                pi = pt_index[int(p)]
+                for s in np.nonzero(st.mp_obs_kf[p] >= 0)[0]:
+                    k = int(st.mp_obs_kf[p, s])
+                    if k not in kf_index or n >= O:
+                        continue
+                    f = int(st.mp_obs_feat[p, s])
+                    obs_kf[n] = kf_index[k]
+                    obs_pt[n] = pi
+                    obs_uv[n] = st.kf_xy[k, f]
+                    obs_w[n] = cfg.inv_sigma2[min(int(st.kf_level[k, f]), cfg.n_levels - 1)]
+                    obs_valid[n] = True
+                    obs_src.append((int(p), k, f))
+                    n += 1
 
         prob = ba.BAProblem(
             kf_R=jnp.array(kf_R), kf_t=jnp.array(kf_t), kf_fixed=jnp.array(kf_fixed),

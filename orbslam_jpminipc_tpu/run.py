@@ -1,0 +1,116 @@
+"""Command-line entry point: run SLAM over a dataset.
+
+The reference's `rosrun ORB_SLAM ORB_SLAM <vocabulary> <settings.yaml>`
+(src/main.cc:58-66) becomes:
+
+    python -m orbslam_jpminipc_tpu.run --dataset synthetic \
+        [--settings settings.yaml] [--vocab vocab.npz] \
+        [--out KeyFrameTrajectory.txt] [--save-world w.npz] [--load-world w.npz]
+
+Datasets: `synthetic[:trajectory]` (rendered room, ground-truth ATE printed)
+or `tum:<dir>` (TUM RGB-D sequence directory). Writes the keyframe
+trajectory in TUM format on exit (main.cc:226-245) and supports world
+checkpoint/resume (SaveLoadWorld parity).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native monocular SLAM")
+    ap.add_argument("--dataset", default="synthetic",
+                    help="synthetic[:traj] | tum:<dir>")
+    ap.add_argument("--settings", default=None, help="settings.yaml (reference layout)")
+    ap.add_argument("--vocab", default=None, help="vocabulary .npz (omit: ad-hoc vocab)")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--n-features", type=int, default=1000)
+    ap.add_argument("--out", default="KeyFrameTrajectory.txt")
+    ap.add_argument("--save-world", default=None)
+    ap.add_argument("--load-world", default=None)
+    ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from .config import SlamConfig
+    from .io.dataset import SyntheticSequence, TumDataset
+    from .io.trajectory import save_tum, ate_rmse
+    from .pipeline.system import Slam
+    from .vocab.vocabulary import build_vocabulary, load_vocabulary
+
+    if args.settings:
+        cfg = SlamConfig.from_yaml(args.settings)
+        cfg.n_features = args.n_features
+    else:
+        cfg = SlamConfig(n_features=args.n_features)
+
+    gt = None
+    if args.dataset.startswith("synthetic"):
+        traj = args.dataset.split(":")[1] if ":" in args.dataset else "xyz"
+        cfg.fx = cfg.fy = 500.0
+        cfg.cx, cfg.cy = 320.0, 240.0
+        cfg.k1 = cfg.k2 = cfg.p1 = cfg.p2 = 0.0
+        seq = SyntheticSequence(n_frames=args.frames, trajectory=traj, seed=args.seed)
+        gt = {round(float(seq.timestamps[i]), 6): seq.poses[i] for i in range(len(seq))}
+    elif args.dataset.startswith("tum:"):
+        seq = TumDataset(args.dataset[4:])
+    else:
+        ap.error(f"unknown dataset {args.dataset}")
+
+    if args.vocab:
+        vocab = load_vocabulary(args.vocab)
+    else:
+        rng = np.random.default_rng(0)
+        vocab = build_vocabulary(
+            rng.integers(0, 256, (20000, 32)).astype(np.uint8), n_words=1024, iters=3
+        )
+
+    slam = Slam(cfg, vocab=vocab, enable_loop_closing=not args.no_loop_closing)
+    if args.load_world:
+        from .io.checkpoint import load_slam
+
+        load_slam(args.load_world, slam)
+        print(f"resumed world: {slam.n_keyframes} KFs, {slam.n_points} points")
+
+    n = min(args.frames, len(seq))
+    t0 = time.time()
+    for i in range(n):
+        img, ts, _ = seq.get(i)
+        state, frame = slam.process(img, ts)
+        if i % 20 == 0:
+            print(
+                f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "
+                f"pts={slam.n_points} inliers={slam.tracker.n_inliers}",
+                file=sys.stderr,
+            )
+    wall = time.time() - t0
+    print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps), "
+          f"{slam.n_keyframes} KFs, {slam.n_points} points, "
+          f"{slam.n_loops_closed} loops closed")
+
+    save_tum(args.out, slam.keyframe_trajectory())
+    print(f"keyframe trajectory -> {args.out}")
+
+    if gt is not None and len(slam.trajectory) > 10:
+        est_c, gt_c = [], []
+        for ts, R, t in slam.trajectory:
+            if round(ts, 6) in gt:
+                Rg, tg = gt[round(ts, 6)]
+                gt_c.append(-Rg.T @ tg)
+                est_c.append(-R.T @ t)
+        print(f"ATE RMSE (scale-aligned): {ate_rmse(np.stack(est_c), np.stack(gt_c)):.4f} m "
+              f"over {len(est_c)} tracked frames")
+
+    if args.save_world:
+        from .io.checkpoint import save_slam
+
+        save_slam(args.save_world, slam)
+        print(f"world -> {args.save_world}")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,31 +111,7 @@ def _build_normal_eq(prob: BAProblem, R, t, pts):
     return Hcc, bc, Hll, bp, A
 
 
-def _inv3(M):
-    """Batched closed-form 3x3 inverse (adjugate / det)."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = c * h - b * i
-    C = b * f - c * e
-    D = f * g - d * i
-    E = a * i - c * g
-    F = c * d - a * f
-    G = d * h - e * g
-    H = b * g - a * h
-    I = a * e - b * d
-    det = a * A + b * D + c * G
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, B, C], -1),
-            jnp.stack([D, E, F], -1),
-            jnp.stack([G, H, I], -1),
-        ],
-        axis=-2,
-    )
-    return adj * inv_det[..., None, None]
+from .linalg3 import inv3 as _inv3  # canonical closed-form 3x3 inverse
 
 
 def _solve_delta(prob: BAProblem, R, t, pts, lam):

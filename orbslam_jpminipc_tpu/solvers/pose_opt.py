@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import exp_se3, compose
 from .reproj import residuals, jacobians, huber_weight
+from .linalg3 import solve6_spd
 
 _CHI2_GATES = (9.210, 7.378, 5.991, 5.991)
 _ROUND_ITERS = (10, 10, 7, 5)
@@ -42,10 +43,10 @@ def _gauss_newton_step(R, t, xw, uv, K4, w, lam):
     H = jnp.einsum("nij,nik->jk", Jw, Jp)
     b = jnp.einsum("nij,ni->j", Jw, e)
     H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=H.dtype)
-    # g2o convention: e = obs - proj, J = de/dxi; minimize |e|^2 ->
-    # delta = (H)^-1 (-J^T e)... with our J already = de/dxi the GN step is
-    # delta = -H^-1 b.
-    delta = -jnp.linalg.solve(H, b)
+    # closed-form blockwise solve: tiny LU factorizations lower to slow
+    # scalar loops on TPU, and this 6x6 solve sits on the sequential
+    # critical path of every GN iteration
+    delta = -solve6_spd(H, b)
     dR, dt = exp_se3(delta)
     return compose(dR, dt, R, t)
 

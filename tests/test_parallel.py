@@ -1,0 +1,39 @@
+"""Multi-device sharded BA on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from orbslam_jpminipc_tpu.solvers import ba
+from orbslam_jpminipc_tpu.parallel import shard_ba_problem, sharded_bundle_adjust
+from tests.test_ba import make_ba_problem
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_matches_single_device(rng, n_shards):
+    assert len(jax.devices()) >= n_shards
+    prob, Rs, ts, xw = make_ba_problem(rng, n_kf=5, n_pts=96)
+    ref = ba.bundle_adjust(prob, iterations=8)
+
+    sprob = shard_ba_problem(prob, n_shards)
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("points",))
+    R, t, pts, chi2 = sharded_bundle_adjust(sprob, mesh, iterations=8)
+
+    # same optimum: chi2 is the sharp criterion; pose/point endpoints can
+    # differ slightly along weakly-constrained directions because float
+    # reduction order changes the LM accept/reject history.
+    assert abs(float(chi2) - float(ref.chi2)) < 0.01 * float(ref.chi2) + 0.1
+    np.testing.assert_allclose(np.asarray(R), np.asarray(ref.kf_R), atol=1e-2)
+    # the monocular gauge scale is free (one fixed camera), so the two
+    # solutions may differ by a small global scale; align before comparing
+    P_total = prob.points.shape[0]
+    flat = np.asarray(pts).reshape(-1, 3)[:P_total]
+    refp = np.asarray(ref.points)
+    valid = np.asarray(prob.point_valid)
+    s_align = float((flat[valid] * refp[valid]).sum() / (flat[valid] ** 2).sum())
+    err = np.linalg.norm(s_align * flat - refp, axis=1)
+    assert np.median(err[valid]) < 2e-2, np.median(err[valid])
+    np.testing.assert_allclose(
+        s_align * np.asarray(t), np.asarray(ref.kf_t), atol=2e-2
+    )
