@@ -147,13 +147,15 @@ class SyntheticSequence:
                 t_wc = np.array([0.0, 0.0, 0.02 * i])
                 rot = Rotation.identity()
             elif kind == "loop":
-                # lateral sweep that returns to the start: x goes out and back
+                # a genuine loop: the camera pans ~60deg away (start view
+                # fully leaves the frustum, covisibility chain breaks after
+                # keyframe culling) and comes back to the starting view
                 t_wc = np.array(
-                    [1.0 * np.sin(2 * np.pi * ph),
-                     0.05 * np.sin(4 * np.pi * ph),
-                     0.3 * np.sin(2 * np.pi * ph)],
+                    [0.8 * np.sin(2 * np.pi * ph),
+                     0.03 * np.sin(4 * np.pi * ph),
+                     0.2 * np.sin(2 * np.pi * ph)],
                 )
-                rot = Rotation.from_euler("y", 0.25 * np.sin(2 * np.pi * ph))
+                rot = Rotation.from_euler("y", 1.05 * np.sin(2 * np.pi * ph))
             else:
                 raise ValueError(kind)
             R_wc = rot.as_matrix()

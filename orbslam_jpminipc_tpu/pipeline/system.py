@@ -19,6 +19,7 @@ from ..frontend.tracking import Tracker, TrackState
 from ..map.map_state import MapState
 from ..map.keyframe_db import KeyFrameDatabase
 from ..solvers import ba
+from ..utils.tracing import get_tracer
 from ..vocab.vocabulary import Vocabulary
 from .local_mapping import LocalMapper
 from .loop_closing import LoopCloser
@@ -43,6 +44,7 @@ class Slam:
         self.frame_count = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_loops_closed = 0
+        self.tracer = get_tracer()
 
     # ------------------------------------------------------------------
 
@@ -53,12 +55,14 @@ class Slam:
             TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED, TrackState.INITIALIZING
         )
         n_features = 2 * self.cfg.n_features if initializing else self.cfg.n_features
-        frame = build_frame(
-            image, self.cfg, frame_id=self.frame_count, timestamp=timestamp,
-            n_features=n_features,
-        )
+        with self.tracer.stage("extract"):
+            frame = build_frame(
+                image, self.cfg, frame_id=self.frame_count, timestamp=timestamp,
+                n_features=n_features,
+            )
         self.frame_count += 1
-        state = self.tracker.process_frame(frame)
+        with self.tracer.stage("track"):
+            state = self.tracker.process_frame(frame)
         if frame.R is not None:
             self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
         # auto-reset shortly after a failed start (Tracking.cc:287-294)
@@ -190,11 +194,15 @@ class Slam:
     # ------------------------------------------------------------------
 
     def _on_new_keyframe(self, frame: Frame):
-        kf = self.mapper.process(frame)
+        with self.tracer.stage("mapping"):
+            kf = self.mapper.process(frame)
         self.tracker.ref_kf = kf
         if self.loop_closer is not None:
-            if self.loop_closer.process(kf):
+            with self.tracer.stage("loop_closing"):
+                closed = self.loop_closer.process(kf)
+            if closed:
                 self.n_loops_closed += 1
+                self.tracer.log("loop_closed", kf=int(kf))
                 self.tracker.force_relocalization()
 
     # ------------------------------------------------------------------

@@ -1,0 +1,72 @@
+"""Per-stage tracing: structured timing + state logs.
+
+Replaces the fork's hand-rolled per-thread text logs (fstrack ->
+tmp/logTrack.txt, src/Tracking.cc:160-184; fslocalmap ->
+src/LocalMapping.cc:46-59; fsloopclose -> src/LoopClosing.cc:55-71) with
+one structured tracer: per-stage wall timings, counters, and an optional
+JSONL stream — plus a hook into jax.profiler for device-level traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+
+
+class StageTracer:
+    def __init__(self, jsonl_path: str | None = None):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self._jsonl = open(jsonl_path, "a") if jsonl_path else None
+        self.enabled = True
+
+    @contextlib.contextmanager
+    def stage(self, name: str, **fields):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+            if self._jsonl is not None:
+                self._jsonl.write(
+                    json.dumps({"stage": name, "ms": round(dt * 1e3, 3), **fields}) + "\n"
+                )
+
+    def log(self, event: str, **fields):
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps({"event": event, **fields}) + "\n")
+            self._jsonl.flush()
+
+    def summary(self) -> dict:
+        return {
+            name: {
+                "total_s": round(self.totals[name], 3),
+                "count": self.counts[name],
+                "mean_ms": round(1e3 * self.totals[name] / max(self.counts[name], 1), 3),
+            }
+            for name in sorted(self.totals)
+        }
+
+    @contextlib.contextmanager
+    def device_trace(self, logdir: str):
+        """Wrap a region in a jax.profiler trace (TensorBoard-compatible)."""
+        import jax
+
+        jax.profiler.start_trace(logdir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+
+_tracer = StageTracer()
+
+
+def get_tracer() -> StageTracer:
+    return _tracer

@@ -109,6 +109,34 @@ def build_vocabulary(
     return Vocabulary(words=jnp.array(centroids), idf=jnp.array(idf))
 
 
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the reference's ORBvoc.txt format,
+    TemplatedVocabulary::loadFromTextFile — used at src/main.cc:101).
+
+    Header line: `k L scoring weighting`; then one node per line:
+    `parent_id is_leaf b0 ... b31 weight`. The flat vocabulary keeps every
+    LEAF node as a word with its tf-idf weight — exact nearest-word
+    assignment then upper-bounds DBoW2's greedy tree descent in recall.
+    """
+    words = []
+    weights = []
+    with open(path) as f:
+        header = f.readline().split()
+        assert len(header) >= 2, "not a DBoW2 text vocabulary"
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            is_leaf = int(parts[1])
+            if not is_leaf:
+                continue
+            words.append([int(x) for x in parts[2:34]])
+            weights.append(float(parts[34]))
+    words = np.array(words, np.uint8)
+    weights = np.array(weights, np.float32)
+    return Vocabulary(words=jnp.array(words), idf=jnp.array(weights))
+
+
 def save_vocabulary(vocab: Vocabulary, path: str):
     np.savez_compressed(path, words=np.asarray(vocab.words), idf=np.asarray(vocab.idf))
 
