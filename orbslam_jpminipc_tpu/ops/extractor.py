@@ -85,7 +85,56 @@ def _cell_priority(score: jax.Array, cell: int) -> jax.Array:
     return prio[:h, :w]
 
 
-def _extract_level(
+def _select_in_cells(score: jax.Array, quota: int, cell: int):
+    """Top-`quota` pixel selection by (rank-in-cell, score) priority.
+
+    Fast path: per-cell lax.top_k(R) shrinks the candidate set from H*W to
+    n_cells*R before the global top_k — a large win over ranking every pixel
+    (the argsort in _cell_priority dominated extraction time). The fast path
+    is provably exact whenever the candidate pool can fill the quota (rank
+    gaps dominate scores, so the global top-quota can only contain rank >= R
+    corners when fewer than `quota` corners of rank < R exist); a lax.cond
+    falls back to the exact full ranking in that rare degenerate case.
+
+    Returns (flat_idx, valid) of shape (quota,).
+    """
+    h, w = score.shape
+    ph, pw = -h % cell, -w % cell
+    s = jnp.pad(score, ((0, ph), (0, pw)))
+    hc, wc = s.shape[0] // cell, s.shape[1] // cell
+    cells = s.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(
+        hc * wc, cell * cell
+    )
+    n_cells, cell_sq = cells.shape
+    r = int(min(cell_sq, max(16, -(-quota // n_cells))))
+
+    vals, within = jax.lax.top_k(cells, r)  # (C, R)
+    rank_key = -1024.0 * jnp.arange(r, dtype=jnp.float32)
+    prio = jnp.where(vals > 0, rank_key[None, :] + vals, -jnp.inf)
+    cy = (jnp.arange(n_cells, dtype=jnp.int32) // wc)[:, None]
+    cx = (jnp.arange(n_cells, dtype=jnp.int32) % wc)[:, None]
+    py = cy * cell + within // cell
+    px = cx * cell + within % cell
+    pix = py * w + px  # flat index in the UNPADDED map (garbage for pad cands)
+
+    n_corners = jnp.sum(score > 0)
+    n_cand = jnp.sum(prio > -jnp.inf)
+    fast_ok = n_cand >= jnp.minimum(quota, n_corners)
+
+    def fast_path(_):
+        v, i = jax.lax.top_k(prio.reshape(-1), quota)
+        return jnp.take(pix.reshape(-1), i), v > -jnp.inf
+
+    def slow_path(_):
+        p = _cell_priority(score, cell).reshape(-1)
+        v, i = jax.lax.top_k(p, quota)
+        return i.astype(jnp.int32), v > -jnp.inf
+
+    idx, valid = jax.lax.cond(fast_ok, fast_path, slow_path, None)
+    return jnp.clip(idx, 0, h * w - 1), valid
+
+
+def _select_level(
     img: jax.Array,
     quota: int,
     fast_th: float,
@@ -93,41 +142,38 @@ def _extract_level(
     cell: int,
     use_harris_score: bool,
 ):
-    """One pyramid level -> (xy_level, angle, response, desc, valid)."""
+    """One pyramid level's keypoint selection -> (xy, response, valid).
+
+    One FAST pass: the corner score is threshold-independent (the maximal
+    threshold at which the pixel stays a corner), so the high-threshold map
+    is just a mask of the low-threshold map — and nonmax suppression commutes
+    with that mask because suppression needs a strictly greater neighbor and
+    hi-corner scores always exceed lo-only scores.
+    """
     h, w = img.shape
-    hi = fast.detect(img, fast_th, border=EDGE_THRESHOLD)
     lo = fast.detect(img, fast_min_th, border=EDGE_THRESHOLD)
+    hi = jnp.where(lo + 1.0 > fast_th, lo, 0.0)
 
     # Per-cell threshold fallback: use `lo` only in cells with no `hi` corner.
     ph, pw = -h % cell, -w % cell
     hi_p = jnp.pad(hi, ((0, ph), (0, pw)))
-    cell_max = hi_p.reshape(h0 := (h + ph) // cell, cell, (w + pw) // cell, cell).max(axis=(1, 3))
+    cell_max = hi_p.reshape((h + ph) // cell, cell, (w + pw) // cell, cell).max(axis=(1, 3))
     has_hi = jnp.repeat(jnp.repeat(cell_max > 0, cell, axis=0), cell, axis=1)[:h, :w]
     score = jnp.where(has_hi, hi, lo)
 
     if use_harris_score:
         # Reference HARRIS_SCORE mode re-scores FAST corners with the Harris
         # response before retaining the best (ORBextractor.cc:678-701).
-        harris = fast.harris_score_map(img)
-        resp_map = harris
+        resp_map = fast.harris_score_map(img)
     else:
         resp_map = score
 
-    prio = _cell_priority(score, cell)
-    flat_prio = prio.reshape(-1)
-    _, idx = jax.lax.top_k(flat_prio, quota)
+    idx, valid = _select_in_cells(score, quota, cell)
     ys = (idx // w).astype(jnp.int32)
     xs = (idx % w).astype(jnp.int32)
-    valid = jnp.take(flat_prio, idx) > -jnp.inf
     xy = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
     response = jnp.take(resp_map.reshape(-1), idx)
-
-    angle = orb.ic_angle(img, xy)
-    # Round the blur to integer intensities: reproduces cv2's uint8 blur
-    # bit-exactly, which makes descriptors identical to cv2.ORB's.
-    blurred = jnp.round(orb.gaussian_blur_7x7_sigma2(img))
-    desc = orb.descriptors(blurred, xy, angle)
-    return xy, angle, response, desc, valid
+    return xy, response, valid
 
 
 @functools.partial(
@@ -154,25 +200,39 @@ def extract(
     """
     levels = pyramid.build_pyramid(image, n_levels, scale_factor)
     quotas = features_per_level(n_features, n_levels, scale_factor)
-    outs = []
+    xys, lvls, resps, valids, p31, p37 = [], [], [], [], [], []
     for lvl, (img, quota) in enumerate(zip(levels, quotas)):
         if quota == 0:
             continue
-        xy, angle, response, desc, valid = _extract_level(
+        xy, response, valid = _select_level(
             img, quota, fast_th, fast_min_th, cell, use_harris_score
         )
-        scale = jnp.float32(scale_factor ** lvl)
-        outs.append(
-            (
-                xy * scale,
-                jnp.full((quota,), lvl, jnp.int32),
-                angle,
-                response,
-                desc,
-                valid,
-            )
-        )
-    cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=0)
+        # Round the blur to integer intensities: reproduces cv2's uint8 blur
+        # bit-exactly, which makes descriptors identical to cv2.ORB's.
+        blurred = jnp.round(orb.gaussian_blur_7x7_sigma2(img))
+        # Patch gathers stay per-level (per-level image shapes), but the
+        # moment/rotation/sampling math below batches ALL levels' keypoints
+        # through one program — 8x fewer instances of the expensive ops.
+        # One gather serves both: orientation reads the 31x31 center of the
+        # unblurred channel, the descriptor reads the 37x37 blurred channel.
+        both = orb.gather_patches_multi(
+            jnp.stack([img, blurred]), xy, orb.PATCH_RADIUS
+        )  # (N, 2, 37, 37)
+        crop = orb.PATCH_RADIUS - orb.HALF_PATCH_SIZE
+        p31.append(both[:, 0, crop:-crop, crop:-crop])
+        p37.append(both[:, 1])
+        xys.append(xy * jnp.float32(scale_factor ** lvl))
+        lvls.append(jnp.full((quota,), lvl, jnp.int32))
+        resps.append(response)
+        valids.append(valid)
+
+    angle = orb.ic_angle_from_patches(jnp.concatenate(p31, axis=0))
+    desc = orb.descriptors_from_patches(jnp.concatenate(p37, axis=0), angle)
     return Features(
-        xy=cat(0), level=cat(1), angle=cat(2), response=cat(3), desc=cat(4), valid=cat(5)
+        xy=jnp.concatenate(xys, axis=0),
+        level=jnp.concatenate(lvls, axis=0),
+        angle=angle,
+        response=jnp.concatenate(resps, axis=0),
+        desc=desc,
+        valid=jnp.concatenate(valids, axis=0),
     )
