@@ -89,8 +89,21 @@ def detect(img: jax.Array, threshold: float, border: int = 0) -> jax.Array:
     """FAST corners with nonmax suppression and border masking.
 
     Returns the suppressed score map (H, W); nonzero entries are keypoints.
+    On TPU the score+nonmax pass runs as one fused Pallas kernel
+    (ops/fast_pallas.py, bit-identical to the jnp path, ~1.4x faster);
+    elsewhere (CPU tests) the pure-jnp path is used.
     """
-    score = nonmax_3x3(fast_score_map(img, threshold))
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("ORBSLAM_TPU_NO_PALLAS")
+    ):
+        from .fast_pallas import fast_detect_tpu
+
+        score = fast_detect_tpu(img, threshold)
+    else:
+        score = nonmax_3x3(fast_score_map(img, threshold))
     if border > 0:
         h, w = img.shape
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)

@@ -52,6 +52,66 @@ def score_l1(v: jax.Array, db: jax.Array) -> jax.Array:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)
 
 
+# --- the other five DBoW2 scoring variants (ScoringObject.cpp) -------------
+# The reference walks two sorted sparse maps; on dense vectors every variant
+# is one batched reduction over the word axis. Zero entries contribute
+# nothing in each formula, so dense == sparse-intersection semantics.
+
+@jax.jit
+def score_l2(v: jax.Array, db: jax.Array) -> jax.Array:
+    """L2 similarity (ScoringObject.cpp:73-119): for L2-normalized vectors,
+    s = 1 - sqrt(1 - sum(v_i w_i)), clamped to 1 on rounding."""
+    dot = db @ v
+    return jnp.where(dot >= 1.0, 1.0, 1.0 - jnp.sqrt(jnp.maximum(1.0 - dot, 0.0)))
+
+
+@jax.jit
+def score_chi_square(v: jax.Array, db: jax.Array) -> jax.Array:
+    """Chi-square similarity (ScoringObject.cpp:124-168):
+    s = 2 sum(v_i w_i / (v_i + w_i)) over words where v_i + w_i > 0."""
+    denom = v[None, :] + db
+    term = jnp.where(denom > 0, v[None, :] * db / jnp.maximum(denom, 1e-30), 0.0)
+    return 2.0 * jnp.sum(term, axis=-1)
+
+
+_LOG_EPS = float(np.log(np.finfo(np.float64).eps))
+
+
+@jax.jit
+def score_kl(v: jax.Array, db: jax.Array) -> jax.Array:
+    """KL divergence of the query from each database vector
+    (ScoringObject.cpp:173-221): sum over v_i > 0 of
+    v_i log(v_i / w_i), with log(eps) standing in where w_i = 0.
+    Lower is more similar (a divergence, 'cannot be scaled')."""
+    vi = v[None, :]
+    log_v = jnp.where(vi > 0, jnp.log(jnp.maximum(vi, 1e-30)), 0.0)
+    log_w = jnp.where(db > 0, jnp.log(jnp.maximum(db, 1e-30)), _LOG_EPS)
+    return jnp.sum(jnp.where(vi > 0, vi * (log_v - log_w), 0.0), axis=-1)
+
+
+@jax.jit
+def score_bhattacharyya(v: jax.Array, db: jax.Array) -> jax.Array:
+    """Bhattacharyya coefficient (ScoringObject.cpp:227-266):
+    s = sum sqrt(v_i w_i) in [0, 1] for L1-normalized inputs."""
+    return jnp.sum(jnp.sqrt(jnp.maximum(v[None, :] * db, 0.0)), axis=-1)
+
+
+@jax.jit
+def score_dot(v: jax.Array, db: jax.Array) -> jax.Array:
+    """Dot-product similarity (ScoringObject.cpp:272-310)."""
+    return db @ v
+
+
+SCORING = {
+    "l1": score_l1,
+    "l2": score_l2,
+    "chi_square": score_chi_square,
+    "kl": score_kl,
+    "bhattacharyya": score_bhattacharyya,
+    "dot": score_dot,
+}
+
+
 def _majority_centroids(bits: np.ndarray, assign: np.ndarray, k: int) -> np.ndarray:
     """Bit-majority centroid per cluster (FORB::meanValue semantics)."""
     sums = np.zeros((k, 256), np.int64)
