@@ -10,3 +10,6 @@ Mesh; the same program runs on a virtual CPU mesh for tests and on real
 TPU slices unchanged.
 """
 from .sharded_ba import shard_ba_problem, sharded_bundle_adjust  # noqa: F401
+from .sharded_pose_graph import (  # noqa: F401
+    shard_essential_graph, sharded_optimize_essential_graph,
+)
