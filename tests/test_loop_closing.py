@@ -1,0 +1,142 @@
+"""LoopCloser end-to-end on a constructed drift-broken map.
+
+A genuine loop-closure situation cannot arise in the clean synthetic
+renders (tracking re-matches the persistent map before covisibility ever
+breaks), so this test builds the situation directly, the way the reference
+encounters it (LoopClosing.cc:115-574): a keyframe chain whose tail
+revisits the start's VIEW but not its map — the tail observes drifted
+duplicate points with the same descriptors, and its estimated poses carry
+the accumulated drift. The closer must detect the loop through the BoW
+database + consistency filter, solve the relative Sim3, and pull the tail
+back onto the start through the essential graph.
+"""
+import numpy as np
+import pytest
+
+from orbslam_jpminipc_tpu.config import SlamConfig
+from orbslam_jpminipc_tpu.map.map_state import MapState
+from orbslam_jpminipc_tpu.map.keyframe_db import KeyFrameDatabase
+from orbslam_jpminipc_tpu.pipeline.loop_closing import LoopCloser
+from orbslam_jpminipc_tpu.vocab.vocabulary import build_vocabulary
+
+K4 = np.array([500.0, 500.0, 320.0, 240.0], np.float32)
+DRIFT = np.array([0.35, 0.0, 0.18], np.float32)
+
+
+def _project(xc):
+    return np.stack(
+        [K4[0] * xc[:, 0] / xc[:, 2] + K4[2], K4[1] * xc[:, 1] / xc[:, 2] + K4[3]], 1
+    ).astype(np.float32)
+
+
+def _make_points(rng, n):
+    return np.stack(
+        [rng.uniform(-1.2, 1.2, n), rng.uniform(-0.9, 0.9, n), rng.uniform(3.0, 5.0, n)],
+        1,
+    ).astype(np.float32)
+
+
+@pytest.fixture
+def scene(rng):
+    """9 KFs: 0-1 start, 2-4 bridge, 5-8 revisit (drifted duplicates)."""
+    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                     max_kf=16, max_mp=2048, n_features=128)
+    st = MapState.create(max_kf=16, max_mp=2048, n_feat=160, max_obs=12)
+
+    n_per = 60
+    # point set S_k is shared by KF k and k+1 (covisibility chain)
+    sets_xyz = [_make_points(rng, n_per) for _ in range(5)]
+    # offset each bridge set forward so each KF pair genuinely sees it
+    centers_true = np.array(
+        [[0.4 * k, 0.0, 0.0] for k in range(5)], np.float32
+    )  # KFs 0..4
+    for k in range(1, 5):
+        sets_xyz[k] = sets_xyz[k] + centers_true[k]
+    sets_desc = [
+        rng.integers(0, 256, (n_per, 32)).astype(np.uint8) for _ in range(5)
+    ]
+
+    # revisit KFs 5..8: true centers back near the start
+    centers_true = np.concatenate(
+        [centers_true, np.array([[0.05 * r, 0.0, 0.0] for r in range(4)], np.float32)]
+    )
+
+    # --- map points ---
+    # GT sets S_0..S_4 observed by the start/bridge chain
+    mp_ids = []
+    for k in range(5):
+        ids = st.add_points(sets_xyz[k], sets_desc[k], ref_kf=k)
+        mp_ids.append(ids)
+    # drifted duplicates of S_0, observed only by the revisit KFs
+    dup_ids = st.add_points(sets_xyz[0] + DRIFT, sets_desc[0], ref_kf=5)
+
+    # --- keyframes ---
+    def add_kf(center_est, obs):  # obs: list[(mp_id, xyz_world_est, desc)]
+        xyz = np.array([o[1] for o in obs], np.float32)
+        xc = xyz - center_est[None, :]  # R = I
+        uv = _project(xc)
+        desc = np.array([o[2] for o in obs], np.uint8)
+        n = len(obs)
+        k = st.add_keyframe(
+            np.eye(3, dtype=np.float32), -center_est.astype(np.float32),
+            uv, np.zeros(n, np.int32), np.zeros(n, np.float32), desc,
+            np.ones(n, bool),
+        )
+        for f, (mp, _, _) in enumerate(obs):
+            st.add_observation(int(mp), k, f)
+        return k
+
+    for k in range(5):  # KFs 0..4 (KF k sees S_{k-1} and S_k)
+        obs = []
+        for s in ([k - 1] if k > 0 else []) + ([k] if k < 5 else []):
+            obs += [
+                (mp, sets_xyz[s][i], sets_desc[s][i])
+                for i, mp in enumerate(mp_ids[s])
+            ]
+        add_kf(centers_true[k], obs)
+    for r in range(4):  # KFs 5..8: drifted estimates of the duplicate set
+        obs = [
+            (mp, sets_xyz[0][i] + DRIFT, sets_desc[0][i])
+            for i, mp in enumerate(dup_ids)
+        ]
+        add_kf(centers_true[5 + r] + DRIFT, obs)
+
+    st.kf_parent[1:9] = np.arange(0, 8)
+    st.update_point_attributes(
+        np.nonzero(st.mp_valid)[0], cfg.scale_factors
+    )
+
+    vocab = build_vocabulary(
+        np.concatenate(sets_desc), n_words=256, iters=3, seed=0
+    )
+    kfdb = KeyFrameDatabase(vocab, st.max_kf)
+    for k in range(9):
+        kfdb.add(k, st.kf_desc[k], st.kf_feat_valid[k])
+    return cfg, st, kfdb
+
+
+def test_detects_and_corrects_drifted_loop(scene):
+    cfg, st, kfdb = scene
+    lc = LoopCloser(cfg, st, kfdb)
+    closed = [lc.process(k) for k in (5, 6, 7, 8)]
+    assert any(closed), "loop was never closed"
+    first = 5 + closed.index(True)
+    # loop edge recorded between the closer KF and the start region
+    assert len(st.kf_loop_edges[first] & {0, 1}) > 0
+    # the drifted tail is pulled back onto the true trajectory
+    for k in range(5, first + 1):
+        center = -st.kf_R[k].T @ st.kf_t[k]
+        true_center = np.array([0.05 * (k - 5), 0.0, 0.0])
+        err = np.linalg.norm(center - true_center)
+        assert err < 0.12, (k, center, true_center, err)
+
+
+def test_covisible_candidates_are_excluded(scene):
+    cfg, st, kfdb = scene
+    lc = LoopCloser(cfg, st, kfdb)
+    covis = st.covisibility()
+    kfdb.set_covisibility(covis)
+    # a bridge KF's best matches are its neighbors — all covisible, so the
+    # database must return no loop candidates for it
+    cands = kfdb.detect_loop_candidates(2, kfdb.bow[2], covis[2])
+    assert 1 not in cands and 3 not in cands
