@@ -89,6 +89,9 @@ def fast_detect_tpu(
     removes, and cannot suppress interior maxima the reference would keep
     because callers mask a >= 19px border anyway (EDGE_THRESHOLD).
     """
+    # with threshold <= 0 the zero-pad ring could score nonzero and diverge
+    # from the jnp oracle's -inf nonmax padding; real FAST thresholds are >= 7
+    assert threshold > 0, f"FAST threshold must be positive, got {threshold}"
     h, w = img.shape
     wq = -(-w // 128) * 128          # output width, lane-aligned
     wp = wq + 128                    # slab width: 4px halo each side, then
@@ -102,7 +105,7 @@ def fast_detect_tpu(
     out = pl.pallas_call(
         functools.partial(_fast_kernel, threshold, TILE_H),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (TILE_H, wq), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),

@@ -18,6 +18,7 @@ marginalization, so the whole normal-equation assembly distributes.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -75,16 +76,15 @@ def shard_essential_graph(
     )
 
 
-def sharded_optimize_essential_graph(
-    sprob: ShardedEssentialGraph,
-    mesh: Mesh,
-    iterations: int = 20,
-    lam0: float = 1e-16,
-    fix_scale: bool = False,
-    axis: str = "edges",
-) -> EssentialGraphResult:
-    K = sprob.s.shape[0]
-    zero = jnp.zeros(7, sprob.t.dtype)
+@functools.lru_cache(maxsize=None)
+def _build_sharded_kernel(mesh: Mesh, iterations: int, lam0: float,
+                          fix_scale: bool, axis: str):
+    """Jitted edge-sharded LM kernel, cached per (mesh, schedule) so repeat
+    loop closures with the same padded shapes hit the jit cache instead of
+    recompiling the whole LM loop. `fixed` is a replicated INPUT (not a
+    baked-in constant), so changing which vertex is gauge-fixed does not
+    recompile either."""
+    zero = jnp.zeros(7, jnp.float32)
 
     res_fn = jax.vmap(_edge_residual,
                       in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))
@@ -93,7 +93,8 @@ def sharded_optimize_essential_graph(
     jac_j = jax.vmap(jax.jacfwd(_edge_residual, argnums=1),
                      in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))
 
-    def kernel(s, R, t, e_i, e_j, e_s, e_R, e_t, e_valid):
+    def kernel(s, R, t, fixed, e_i, e_j, e_s, e_R, e_t, e_valid):
+        K = s.shape[0]
         e_i, e_j = e_i[0], e_j[0]
         e_s, e_R, e_t, e_valid = e_s[0], e_R[0], e_t[0], e_valid[0]
 
@@ -113,8 +114,8 @@ def sharded_optimize_essential_graph(
             Ji = jac_i(zero, zero, *args, fix_scale)
             Jj = jac_j(zero, zero, *args, fix_scale)
             w = e_valid.astype(e.dtype)
-            wi = w * (~sprob.fixed[e_i]).astype(e.dtype)
-            wj = w * (~sprob.fixed[e_j]).astype(e.dtype)
+            wi = w * (~fixed[e_i]).astype(e.dtype)
+            wj = w * (~fixed[e_j]).astype(e.dtype)
             Ji = Ji * wi[:, None, None]
             Jj = Jj * wj[:, None, None]
             ew = e * w[:, None]
@@ -136,7 +137,7 @@ def sharded_optimize_essential_graph(
 
             diag = jnp.arange(K)
             eye7 = jnp.eye(7, dtype=e.dtype)
-            inert = sprob.fixed | (free_deg == 0)
+            inert = fixed | (free_deg == 0)
             H = jnp.where(
                 inert[:, None, None, None] | inert[None, :, None, None], 0.0, H
             )
@@ -170,16 +171,28 @@ def sharded_optimize_essential_graph(
         return s, R, t, chi
 
     shard, rep = P(axis), P()
-    f = jax.jit(
+    return jax.jit(
         jax.shard_map(
             kernel, mesh=mesh,
-            in_specs=(rep, rep, rep, shard, shard, shard, shard, shard, shard),
+            in_specs=(rep, rep, rep, rep,
+                      shard, shard, shard, shard, shard, shard),
             out_specs=(rep, rep, rep, rep),
             check_vma=False,
         )
     )
+
+
+def sharded_optimize_essential_graph(
+    sprob: ShardedEssentialGraph,
+    mesh: Mesh,
+    iterations: int = 20,
+    lam0: float = 1e-16,
+    fix_scale: bool = False,
+    axis: str = "edges",
+) -> EssentialGraphResult:
+    f = _build_sharded_kernel(mesh, iterations, float(lam0), fix_scale, axis)
     s, R, t, chi = f(
-        sprob.s, sprob.R, sprob.t,
+        sprob.s, sprob.R, sprob.t, sprob.fixed,
         sprob.e_i, sprob.e_j, sprob.e_s, sprob.e_R, sprob.e_t, sprob.e_valid,
     )
     return EssentialGraphResult(s=s, R=R, t=t, chi2=chi)

@@ -3,9 +3,9 @@
 The jpMiniPC fork adds two file-local local-BA variants to Optimizer.cc:
 `LocalBundleAdjustmentWJ` (src/Optimizer.cc:541-983 — current KF as a Sim3
 vertex among SE3 vertices) and `LocalBundleAdjustmentWJ_All7Dof`
-(src/Optimizer.cc:990-1466 — every local KF a VertexSim3Expmap, with
-`_fix_scale` on all but the current KF so only the newest keyframe's scale
-is free). They exercise g2o's BlockSolver_7_3 on the local map. Neither is
+(src/Optimizer.cc:990-1466 — every local KF a VertexSim3Expmap; scale is
+fixed on KFs 0/1 and on KFs older than current-5, so the ~5 newest
+keyframes keep free scale, Optimizer.cc:1082). They exercise g2o's BlockSolver_7_3 on the local map. Neither is
 wired into the live LocalMapping loop (LocalMapping.cc:84 calls the stock
 SE3 version), and this framework likewise exposes the capability without
 routing the mapper through it.
