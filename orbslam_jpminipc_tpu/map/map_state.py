@@ -149,19 +149,46 @@ class MapState:
 
     def erase_keyframe(self, k: int):
         """KeyFrame::SetBadFlag (KeyFrame.cc:474-588): remove observations,
-        re-parent spanning-tree children to the grandparent side."""
+        then iteratively re-bind each spanning-tree child to its strongest
+        covisible keyframe among the growing candidate set (parent first,
+        then already re-bound siblings); unbindable children inherit the
+        grandparent (KeyFrame.cc:580-586)."""
         feats = np.nonzero(self.kf_point[k] >= 0)[0]
         for f in feats:
             self.remove_observation(int(self.kf_point[k, f]), k)
         self.kf_valid[k] = False
         self.kf_point[k] = -1
         self.kf_feat_valid[k] = False
+        self._reparent_children(k)
+
+    def _covis_weight(self, a: int, b: int) -> int:
+        """Shared valid map point count between two keyframes."""
+        pa = self.kf_point[a]
+        pb = self.kf_point[b]
+        sa = pa[(pa >= 0)]
+        sb = pb[(pb >= 0)]
+        return len(np.intersect1d(sa, sb))
+
+    def _reparent_children(self, k: int, min_weight: int = 15):
+        """Strongest-covisible child re-binding (KeyFrame.cc:497-588).
+        Candidates start as {parent}; each round binds the (child,
+        candidate) pair with the globally largest covisibility weight and
+        promotes the child to a candidate; leftovers get the grandparent."""
         parent = int(self.kf_parent[k])
-        children = np.nonzero(self.kf_parent == k)[0]
-        # simplified re-parenting: children inherit the grandparent (the
-        # reference re-binds each child to its strongest covisible candidate,
-        # KeyFrame.cc:497-588; the grandparent is that in the common case of
-        # a linear exploration chain)
+        children = {int(c) for c in np.nonzero(self.kf_parent == k)[0]}
+        candidates = {parent} if parent >= 0 and self.kf_valid[parent] else set()
+        while children and candidates:
+            best_w, best_c, best_p = min_weight - 1, -1, -1
+            for c in children:
+                for p in candidates:
+                    w = self._covis_weight(c, p)
+                    if w > best_w:
+                        best_w, best_c, best_p = w, c, p
+            if best_c < 0:
+                break
+            self.kf_parent[best_c] = best_p
+            candidates.add(best_c)
+            children.remove(best_c)
         for c in children:
             self.kf_parent[c] = parent
         self.kf_parent[k] = -1

@@ -12,6 +12,63 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
+
+// Covisibility weight (shared map point count) between keyframes a and b.
+static int covis_weight(int a, int b, const int32_t* kf_point,
+                        const int32_t* mp_obs_kf, int n_feat, int max_obs)
+{
+    int w = 0;
+    const int32_t* pa = kf_point + (int64_t)a * n_feat;
+    for (int f = 0; f < n_feat; ++f) {
+        int p = pa[f];
+        if (p < 0) continue;
+        const int32_t* okf = mp_obs_kf + (int64_t)p * max_obs;
+        for (int s = 0; s < max_obs; ++s)
+            if (okf[s] == b) { ++w; break; }
+    }
+    return w;
+}
+
+// Spanning-tree child re-binding on keyframe deletion (KeyFrame.cc:497-588):
+// candidates start as {parent}; each round binds the (child, candidate) pair
+// with the globally largest covisibility weight (>= min_weight) and promotes
+// the child to a candidate; leftovers inherit the grandparent.
+static void reparent_children(int k, int32_t* kf_parent,
+                              const uint8_t* kf_valid,
+                              const int32_t* kf_point,
+                              const int32_t* mp_obs_kf,
+                              int max_kf, int n_feat, int max_obs,
+                              int min_weight = 15)
+{
+    int parent = kf_parent[k];
+    std::vector<int> children;
+    for (int c = 0; c < max_kf; ++c)
+        if (kf_parent[c] == k) children.push_back(c);
+    std::vector<int> candidates;
+    if (parent >= 0 && kf_valid[parent]) candidates.push_back(parent);
+    while (!children.empty() && !candidates.empty()) {
+        int best_w = min_weight - 1, best_ci = -1, best_p = -1;
+        for (size_t ci = 0; ci < children.size(); ++ci)
+            for (size_t pi = 0; pi < candidates.size(); ++pi) {
+                int w = covis_weight(children[ci], candidates[pi],
+                                     kf_point, mp_obs_kf, n_feat, max_obs);
+                if (w > best_w) {
+                    best_w = w;
+                    best_ci = (int)ci;
+                    best_p = candidates[pi];
+                }
+            }
+        if (best_ci < 0) break;
+        int c = children[best_ci];
+        kf_parent[c] = best_p;
+        candidates.push_back(c);
+        children.erase(children.begin() + best_ci);
+    }
+    for (size_t ci = 0; ci < children.size(); ++ci)
+        kf_parent[children[ci]] = parent;
+    kf_parent[k] = -1;
+}
 
 extern "C" {
 
@@ -90,11 +147,8 @@ int cull_redundant_keyframes(
         std::memset(kf_point + (int64_t)k * n_feat, 0xFF,
                     sizeof(int32_t) * n_feat);
         kf_valid[k] = 0;
-        // spanning-tree re-parenting: children inherit the grandparent
-        int parent = kf_parent[k];
-        for (int c = 0; c < max_kf; ++c)
-            if (kf_parent[c] == k) kf_parent[c] = parent;
-        kf_parent[k] = -1;
+        reparent_children(k, kf_parent, kf_valid, kf_point, mp_obs_kf,
+                          max_kf, n_feat, max_obs);
         out_culled[n_culled++] = k;
     }
     return n_culled;

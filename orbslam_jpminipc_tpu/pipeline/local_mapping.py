@@ -72,10 +72,20 @@ class LocalMapper:
         self.create_new_points(kf)
         self.fuse_neighbors(kf)
         self.local_ba(kf)
+        self.cull_keyframes(kf)
+        return kf
+
+    def cull_keyframes(self, kf: int) -> list[int]:
+        """Redundant-KF culling over the covisible neighbors (:546-600)."""
         covis = self.map.covisibility()
         neighbors = np.nonzero(covis[kf] >= 15)[0]
-        culling.cull_redundant_keyframes(self.map, neighbors[neighbors != kf])
-        return kf
+        erased = culling.cull_redundant_keyframes(self.map, neighbors[neighbors != kf])
+        # culled KFs leave the place-recognition index too (KeyFrame.cc:586-587
+        # -> KeyFrameDatabase::erase), so they stop competing as candidates
+        if self.kfdb is not None:
+            for k in erased:
+                self.kfdb.erase(k)
+        return erased
 
     # ------------------------------------------------------------------
     # triangulation of new points (CreateNewMapPoints :227-393)

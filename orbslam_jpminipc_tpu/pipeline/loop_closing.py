@@ -32,6 +32,7 @@ _search_proj = jax.jit(
 _solve_sim3 = jax.jit(
     sim3solver.solve_sim3, static_argnames=("n_hyp", "min_inliers", "fix_scale")
 )
+_fuse4 = jax.jit(matching.fuse_search, static_argnames=("max_dist",))
 
 
 class LoopCloser:
@@ -56,10 +57,11 @@ class LoopCloser:
         cands = self.detect_loop(kf)
         if not cands:
             return False
-        ok, loop_kf, s_cl, R_cl, t_cl, loop_points = self.compute_sim3(kf, cands)
+        ok, loop_kf, s_cl, R_cl, t_cl, loop_points, loop_point_ids = \
+            self.compute_sim3(kf, cands)
         if not ok:
             return False
-        self.correct_loop(kf, loop_kf, s_cl, R_cl, t_cl, loop_points)
+        self.correct_loop(kf, loop_kf, s_cl, R_cl, t_cl, loop_points, loop_point_ids)
         if self.on_loop_closed is not None:
             self.on_loop_closed(kf)
         return True
@@ -152,12 +154,14 @@ class LoopCloser:
             if int(opt.n_inliers) < 20:
                 continue
             # guided projection of the loop neighborhood's points (:355-399)
-            total, loop_points = self._guided_matches(
+            total, loop_points, loop_point_ids = self._guided_matches(
                 kf, cand, float(opt.s12), np.asarray(opt.R12), np.asarray(opt.t12)
             )
             if total >= 40:
-                return True, cand, float(opt.s12), np.asarray(opt.R12), np.asarray(opt.t12), loop_points
-        return False, -1, 1.0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), None
+                return (True, cand, float(opt.s12), np.asarray(opt.R12),
+                        np.asarray(opt.t12), loop_points, loop_point_ids)
+        return (False, -1, 1.0, np.eye(3, dtype=np.float32),
+                np.zeros(3, np.float32), None, None)
 
     def _guided_matches(self, kf: int, loop_kf: int, s_cl, R_cl, t_cl):
         """Project the loop KF neighborhood's map points into the current
@@ -171,7 +175,7 @@ class LoopCloser:
         pts = pts[pts >= 0]
         pts = pts[st.mp_valid[pts]]
         if len(pts) == 0:
-            return 0, None
+            return 0, None, None
         cap = 4096
         pts = pts[:cap]
         pad = cap - len(pts)
@@ -199,15 +203,24 @@ class LoopCloser:
         mask = np.asarray(m.mask)
         idx = np.asarray(m.idx)
         loop_points = (pts_pad[mask], idx[mask])  # (map point, feature in kf)
-        return int(mask.sum()), loop_points
+        # the full loop-side point set (mvpLoopMapPoints, LoopClosing.cc:371)
+        # feeds SearchAndFuse over the whole corrected group later
+        return int(mask.sum()), loop_points, pts
 
     # ------------------------------------------------------------------
     # CorrectLoop (:416-574)
     # ------------------------------------------------------------------
 
-    def correct_loop(self, kf: int, loop_kf: int, s_cl, R_cl, t_cl, loop_points):
+    def correct_loop(self, kf: int, loop_kf: int, s_cl, R_cl, t_cl,
+                     loop_points, loop_point_ids=None):
         st, cfg = self.map, self.cfg
         covis_before = st.covisibility()
+
+        # NonCorrectedSim3 (:460-462): snapshot EVERY pose before any
+        # write-back — structural essential-graph measurements must come
+        # from the pre-correction poses (Optimizer.cc:1577-1646)
+        pre_R = st.kf_R.copy()
+        pre_t = st.kf_t.copy()
 
         # corrected Scw of the current KF: S_cl o S_lw (:435-439)
         S_lw = (np.float32(1.0), st.kf_R[loop_kf].copy(), st.kf_t[loop_kf].copy())
@@ -217,40 +230,39 @@ class LoopCloser:
         group = [kf] + [
             int(k) for k in np.nonzero(covis_before[kf] >= 15)[0] if st.kf_valid[k] and k != kf
         ]
-        old_poses = {}
         new_sim3 = {}
         T_cw_old = (np.float32(1.0), st.kf_R[kf].copy(), st.kf_t[kf].copy())
         T_wc_old = _inverse_np(T_cw_old)
         for k in group:
-            S_kw_old = (np.float32(1.0), st.kf_R[k].copy(), st.kf_t[k].copy())
-            old_poses[k] = S_kw_old
             if k == kf:
                 S_kw_new = S_cw_corr
             else:
+                S_kw_old = (np.float32(1.0), pre_R[k], pre_t[k])
                 S_kc = _compose_np(S_kw_old, T_wc_old)   # relative, pre-correction
                 S_kw_new = _compose_np(S_kc, S_cw_corr)
             new_sim3[k] = S_kw_new
-            # write back SE3 = [R, t/s] (:489-498)
-            s, R, t = S_kw_new
-            st.kf_R[k] = R
-            st.kf_t[k] = t / s
-        # correct the group's points through their KF correction (:458-487)
-        corrected_pts = set()
+
+        # correct the group's points through their KF correction (:466-497),
+        # tracking which group KF corrected each point (mnCorrectedReference)
+        # so the post-optimization remap uses the SAME frame (:1697-1703)
+        corrected_by = np.full(st.max_mp, -1, np.int32)
         for k in group:
             pts = st.kf_point[k]
             pts = pts[pts >= 0]
-            pts = [int(p) for p in pts if st.mp_valid[p] and p not in corrected_pts]
-            if not pts:
+            pts = pts[st.mp_valid[pts] & (corrected_by[pts] < 0)]
+            if len(pts) == 0:
                 continue
-            pts = np.array(pts)
-            s_old, R_old, t_old = old_poses[k]
-            s_new, R_new, t_new = new_sim3[k]
-            x_cam = s_old * (st.mp_xyz[pts] @ R_old.T) + t_old
-            s_i, R_i, t_i = _inverse_np((s_new, R_new, t_new))
+            x_cam = st.mp_xyz[pts] @ pre_R[k].T + pre_t[k]   # NonCorrected Siw
+            s_i, R_i, t_i = _inverse_np(new_sim3[k])
             st.mp_xyz[pts] = (s_i * (x_cam @ R_i.T) + t_i).astype(np.float32)
-            corrected_pts.update(int(p) for p in pts)
+            corrected_by[pts] = k
+        # write back SE3 = [R, t/s] (:499-508)
+        for k, (s, R, t) in new_sim3.items():
+            st.kf_R[k] = R
+            st.kf_t[k] = t / s
 
-        # fuse the guided loop matches into the current KF (:514-534)
+        # fuse the guided loop matches into the current KF (:514-531):
+        # existing point is replaced BY the loop point
         if loop_points is not None:
             mps, feats = loop_points
             for mp, f in zip(mps, feats):
@@ -263,20 +275,112 @@ class LoopCloser:
                 else:
                     st.add_observation(mp, kf, f)
 
+        # SearchAndFuse (:534, :576-589): project the loop-side point set
+        # into EVERY corrected-group keyframe and fuse duplicates, welding
+        # covisibility across the loop
+        if loop_point_ids is not None:
+            self._search_and_fuse(group, loop_point_ids)
+
+        # LoopConnections (:538-556): fresh cross-loop covisibility links =
+        # post-fusion neighbors minus pre-loop neighbors minus the group
+        covis_after = st.covisibility()
+        group_set = set(group)
+        loop_connections: dict[int, set[int]] = {}
+        for i in group:
+            prev = {int(j) for j in np.nonzero(covis_before[i] >= 15)[0]}
+            now = {
+                int(j) for j in np.nonzero(covis_after[i] >= 15)[0]
+                if st.kf_valid[j] and int(j) != i
+            }
+            conns = now - prev - group_set
+            if conns:
+                loop_connections[i] = conns
+
         # essential-graph optimization over ALL keyframes (:560)
-        self._essential_graph(kf, loop_kf, covis_before, new_sim3)
+        self._essential_graph(
+            kf, loop_kf, covis_after, new_sim3, pre_R, pre_t,
+            loop_connections, corrected_by,
+        )
 
         # loop edges (:563-565)
         st.kf_loop_edges[kf].add(loop_kf)
         st.kf_loop_edges[loop_kf].add(kf)
         self.last_loop_kf_id = st.next_kf_id
 
-    def _essential_graph(self, kf: int, loop_kf: int, covis_before, corrected: dict):
+    def _search_and_fuse(self, group: list[int], loop_point_ids: np.ndarray):
+        """LoopClosing::SearchAndFuse (:576-589) + ORBmatcher::Fuse(Scw)
+        (ORBmatcher.cc:1136-1265): project the loop points through each
+        corrected group pose (stored SE3 [R, t/s] — exactly the reference's
+        normalized Scw decomposition), match within radius 4*scale, and
+        replace any existing point with the loop point."""
+        st, cfg = self.map, self.cfg
+        pts = loop_point_ids[st.mp_valid[loop_point_ids]]
+        if len(pts) == 0:
+            return
+        cap = 1 << int(np.ceil(np.log2(max(len(pts), 64))))
+        pad = cap - len(pts)
+        pts_pad = np.concatenate([pts, np.zeros(pad, np.int64)])
+        base_valid = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
+        for k in group:
+            xw = st.mp_xyz[pts_pad]
+            R, t = st.kf_R[k], st.kf_t[k]
+            xc = xw @ R.T + t
+            z = xc[:, 2]
+            uv = np.stack(
+                [cfg.fx * xc[:, 0] / np.maximum(z, 1e-9) + cfg.cx,
+                 cfg.fy * xc[:, 1] / np.maximum(z, 1e-9) + cfg.cy], 1
+            ).astype(np.float32)
+            valid_q = base_valid & (z > 0) & st.mp_valid[pts_pad]
+            # skip points the keyframe already observes (spAlreadyFound)
+            valid_q &= ~(st.mp_obs_kf[pts_pad] == k).any(axis=1)
+            O = -R.T @ t
+            dist = np.linalg.norm(xw - O, axis=1)
+            valid_q &= (dist >= 0.8 * st.mp_min_dist[pts_pad]) & (
+                dist <= 1.2 * st.mp_max_dist[pts_pad]
+            )
+            pred = predict_scale_level(
+                dist, st.mp_max_dist[pts_pad], cfg.scale_factor, cfg.n_levels
+            )
+            m = _fuse4(
+                jnp.array(st.mp_desc[pts_pad]), jnp.array(uv), jnp.array(pred),
+                jnp.array(valid_q),
+                jnp.array(st.kf_desc[k]), jnp.array(st.kf_xy[k]),
+                jnp.array(st.kf_level[k]), jnp.array(st.kf_feat_valid[k]),
+                jnp.array(cfg.scale_factors), 4.0,
+            )
+            mask = np.asarray(m.mask)
+            idx = np.asarray(m.idx)
+            for qi in np.nonzero(mask)[0]:
+                mp = int(pts_pad[qi])
+                if not st.mp_valid[mp]:
+                    continue
+                f = int(idx[qi])
+                existing = int(st.kf_point[k, f])
+                if existing >= 0 and st.mp_valid[existing]:
+                    if existing != mp:
+                        st.replace_point(existing, mp)
+                else:
+                    st.add_observation(mp, k, f)
+
+    def _essential_graph(self, kf: int, loop_kf: int, covis_after,
+                         corrected: dict, pre_R: np.ndarray, pre_t: np.ndarray,
+                         loop_connections: dict, corrected_by: np.ndarray):
+        """OptimizeEssentialGraph (Optimizer.cc:1470-1719).
+
+        Vertex estimates: CorrectedSim3 for the group, current (=
+        pre-correction) poses elsewhere (:1508-1521). Loop-connection edges
+        measure the relative Sim3 between vertex ESTIMATES (:1540-1556);
+        all structural edges (spanning tree, prior loop edges, strong
+        covisibility) measure the relative pose between the PRE-correction
+        poses — NonCorrectedSim3 (:1577-1646) — so the loop residual is
+        carried by the graph instead of vanishing at the initial point.
+        """
         st, cfg = self.map, self.cfg
         K = st.max_kf
         valid = st.kf_valid.copy()
 
-        # vertex estimates: corrected poses where available, else current
+        # vertex estimates (vScw): corrected Sim3 where available, else the
+        # stored pose (untouched outside the group => pre-correction)
         s_v = np.ones(K, np.float32)
         R_v = st.kf_R.copy()
         t_v = st.kf_t.copy()
@@ -285,55 +389,66 @@ class LoopCloser:
             R_v[k] = R
             t_v[k] = t
 
-        # measurement source: poses BEFORE correction for structural edges
-        old_s = np.ones(K, np.float32)
-        old_R = st.kf_R.copy()
-        old_t = st.kf_t.copy()
-        # note: group KFs already hold corrected SE3; rebuild their
-        # pre-correction poses from the stored old_poses via `corrected`
-        # structure is approximate here — edges among corrected KFs use the
-        # corrected relative pose, which equals the pre-correction relative
-        # pose by construction (rigid propagation), so this is exact.
-
         e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
 
-        def add_edge(i, j, meas=None):
-            if meas is None:
-                # Sji from current stored poses
-                S_j = (old_s[j], old_R[j], old_t[j])
-                S_i_inv = _inverse_np((old_s[i], old_R[i], old_t[i]))
-                meas = _compose_np(S_j, S_i_inv)
+        def add_edge(i, j, meas):
             e_i.append(i)
             e_j.append(j)
             e_s.append(meas[0])
             e_R.append(meas[1])
             e_t.append(meas[2])
 
+        def est(i):
+            return (s_v[i], R_v[i], t_v[i])
+
+        def noncorr(i):
+            return (np.float32(1.0), pre_R[i], pre_t[i])
+
+        # loop-connection edges (:1540-1565): measurement from the vertex
+        # estimates; weight gate 100 except the (current, loop) pair itself
         seen = set()
+        for i, conns in sorted(loop_connections.items()):
+            for j in sorted(conns):
+                if not valid[j]:
+                    continue
+                if (i != kf or j != loop_kf) and covis_after[i, j] < 100:
+                    continue
+                key = (min(i, j), max(i, j))
+                if key in seen:
+                    continue
+                seen.add(key)
+                add_edge(i, j, _compose_np(est(j), _inverse_np(est(i))))
+        # the explicit current<->loop edge (always present: the reference's
+        # weight-gate exemption guarantees it once fusion links the pair)
+        key = (min(kf, loop_kf), max(kf, loop_kf))
+        if key not in seen:
+            seen.add(key)
+            add_edge(kf, loop_kf,
+                     _compose_np(est(loop_kf), _inverse_np(est(kf))))
+
+        # normal edges (:1573-1664): measurements from NonCorrectedSim3
         for k in np.nonzero(valid)[0]:
             k = int(k)
+            Swi_pre = _inverse_np(noncorr(k))
             parent = int(st.kf_parent[k])
             if parent >= 0 and valid[parent]:
                 key = (min(k, parent), max(k, parent))
                 if key not in seen:
                     seen.add(key)
-                    add_edge(k, parent)
+                    add_edge(k, parent, _compose_np(noncorr(parent), Swi_pre))
             for le in st.kf_loop_edges[k]:
+                le = int(le)
                 key = (min(k, le), max(k, le))
-                if valid[le] and key not in seen:
+                if valid[le] and le < k and key not in seen:
                     seen.add(key)
-                    add_edge(k, int(le))
+                    add_edge(k, le, _compose_np(noncorr(le), Swi_pre))
             # strong covisibility edges (weight >= 100, Optimizer.cc:1496)
-            for n in np.nonzero(covis_before[k] >= 100)[0]:
+            for n in np.nonzero(covis_after[k] >= 100)[0]:
                 n = int(n)
                 key = (min(k, n), max(k, n))
-                if valid[n] and key not in seen:
+                if valid[n] and n < k and key not in seen:
                     seen.add(key)
-                    add_edge(k, n)
-        # the new loop edge with its measured Sim3
-        S_c = corrected[kf]
-        S_l_inv = _inverse_np((1.0, st.kf_R[loop_kf], st.kf_t[loop_kf]))
-        add_edge(loop_kf, kf, _compose_np(S_c, S_l_inv))
+                    add_edge(k, n, _compose_np(noncorr(n), Swi_pre))
 
         E = len(e_i)
         cap = 1 << int(np.ceil(np.log2(max(E, 64))))
@@ -357,22 +472,33 @@ class LoopCloser:
         R_new = np.asarray(res.R)
         t_new = np.asarray(res.t)
 
-        # correct every point through its reference KF (Optimizer.cc:1701-1718)
-        for p in np.nonzero(st.mp_valid)[0]:
-            p = int(p)
-            ref = int(st.mp_ref_kf[p])
-            if ref < 0 or not valid[ref]:
-                continue
-            s_o, R_o, t_o = s_v[ref], R_v[ref], t_v[ref]
-            x_cam = s_o * (R_o @ st.mp_xyz[p]) + t_o
-            s_n, R_n, t_n = s_new[ref], R_new[ref], t_new[ref]
-            si, Ri, ti = _inverse_np((s_n, R_n, t_n))
-            st.mp_xyz[p] = (si * (Ri @ x_cam) + ti).astype(np.float32)
-        # recover SE3 poses [R, t/s]
-        for k in np.nonzero(valid)[0]:
-            k = int(k)
-            st.kf_R[k] = R_new[k]
-            st.kf_t[k] = (t_new[k] / s_new[k]).astype(np.float32)
+        # correct every point through the vertex estimate of the keyframe
+        # that owns it — its rigid-correction reference if it was corrected
+        # by this loop, else its reference KF (Optimizer.cc:1687-1718) —
+        # vectorized: x' = S_opt(r)^-1 ( S_est(r) (x) )
+        mp_sel = np.nonzero(st.mp_valid)[0]
+        if len(mp_sel):
+            r = np.where(corrected_by[mp_sel] >= 0,
+                         corrected_by[mp_sel], st.mp_ref_kf[mp_sel])
+            ok = (r >= 0) & valid[np.clip(r, 0, K - 1)]
+            mp_sel = mp_sel[ok]
+            r = np.clip(r[ok], 0, K - 1)
+            x = st.mp_xyz[mp_sel]
+            x_cam = (s_v[r, None] *
+                     np.einsum("nij,nj->ni", R_v[r], x)) + t_v[r]
+            # inverse of the optimized Sim3 at r, batched
+            si = 1.0 / s_new[r]
+            Rn_T = R_new[r].transpose(0, 2, 1)
+            x_w = si[:, None] * np.einsum(
+                "nij,nj->ni", Rn_T, x_cam - t_new[r]
+            )
+            st.mp_xyz[mp_sel] = x_w.astype(np.float32)
+        # recover SE3 poses [R, t/s] (:1677-1685)
+        live = np.nonzero(valid)[0]
+        st.kf_R[live] = R_new[live]
+        st.kf_t[live] = (t_new[live] / s_new[live, None]).astype(np.float32)
+        # refresh normals/depth bands after the deformation (:1716)
+        st.update_point_attributes(np.nonzero(st.mp_valid)[0], cfg.scale_factors)
 
 
 def _compose_np(a, b):

@@ -123,12 +123,112 @@ def test_detects_and_corrects_drifted_loop(scene):
     first = 5 + closed.index(True)
     # loop edge recorded between the closer KF and the start region
     assert len(st.kf_loop_edges[first] & {0, 1}) > 0
-    # the drifted tail is pulled back onto the true trajectory
+    # the drifted tail is pulled back toward the true trajectory. The whole
+    # drift (|DRIFT| = 0.39) is concentrated in the bridge->tail edge, and
+    # the essential graph distributes it around the loop cycle (identity
+    # edge information, Optimizer.cc:1537), so the tail keeps a ~1/cycle
+    # share of the error rather than landing exactly on ground truth.
+    drift_norm = float(np.linalg.norm(DRIFT))
     for k in range(5, first + 1):
         center = -st.kf_R[k].T @ st.kf_t[k]
         true_center = np.array([0.05 * (k - 5), 0.0, 0.0])
         err = np.linalg.norm(center - true_center)
-        assert err < 0.12, (k, center, true_center, err)
+        assert err < 0.55 * drift_norm, (k, center, true_center, err)
+    # and the start anchors stay put (loop KF fixed; its neighbors nearly so)
+    for k in (0, 1):
+        center = -st.kf_R[k].T @ st.kf_t[k]
+        err = np.linalg.norm(center - np.array([0.4 * k, 0.0, 0.0]))
+        assert err < 0.4 * drift_norm, (k, err)
+
+
+def test_correction_propagates_beyond_covisible_group():
+    """Mid-chain keyframes OUTSIDE the covisible group must move toward
+    ground truth: structural essential-graph measurements are taken from
+    PRE-correction poses (NonCorrectedSim3, Optimizer.cc:1577-1646), so the
+    loop residual is distributed along the whole chain instead of vanishing
+    at the initial point.
+
+    32-KF chain with linearly accumulating drift; the covisible group of
+    the closing KF is only {30, 31}. With correct semantics, spreading the
+    loop error along the cycle cancels the linear drift almost exactly.
+    """
+    rng = np.random.default_rng(7)
+    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                     max_kf=64, max_mp=4096, n_features=64)
+    N = 32
+    st = MapState.create(max_kf=64, max_mp=4096, n_feat=64, max_obs=8)
+    drift_full = np.array([0.6, 0.0, 0.3], np.float32)
+
+    def gt_center(k):
+        return np.array([0.25 * k, 0.0, 0.0], np.float32)
+
+    def est_center(k):
+        return gt_center(k) + (k / (N - 1)) * drift_full
+
+    n_per = 30
+    # point set S_k (shared by KF k and k+1), placed consistently with the
+    # drifted estimate of KF k (ref_kf = k)
+    set_ids = []
+    for k in range(N - 1):
+        gt_pts = _make_points(rng, n_per) + gt_center(k)
+        est_pts = gt_pts + (k / (N - 1)) * drift_full
+        desc = rng.integers(0, 256, (n_per, 32)).astype(np.uint8)
+        ids = st.add_points(est_pts, desc, ref_kf=k)
+        set_ids.append((ids, est_pts, desc))
+
+    for k in range(N):
+        obs = []
+        for s in ([k - 1] if k > 0 else []) + ([k] if k < N - 1 else []):
+            ids, est_pts, desc = set_ids[s]
+            obs += list(zip(ids, est_pts, desc))
+        xyz = np.array([o[1] for o in obs], np.float32)
+        c = est_center(k)
+        uv = _project(xyz - c[None, :])
+        kf = st.add_keyframe(
+            np.eye(3, dtype=np.float32), -c,
+            uv, np.zeros(len(obs), np.int32), np.zeros(len(obs), np.float32),
+            np.array([o[2] for o in obs], np.uint8), np.ones(len(obs), bool),
+        )
+        for f, (mp, _, _) in enumerate(obs):
+            st.add_observation(int(mp), kf, f)
+        if k > 0:
+            st.kf_parent[k] = k - 1
+    st.update_point_attributes(np.nonzero(st.mp_valid)[0], cfg.scale_factors)
+
+    # ground-truth corrected Sim3 of the closing KF relative to loop KF 0:
+    # S_cl = S_cw_gt o S_lw^-1 (S_lw = KF0's pose, drift-free)
+    c_gt = gt_center(N - 1)
+    S_cw_gt = (np.float32(1.0), np.eye(3, dtype=np.float32), -c_gt)
+    S_lw = (np.float32(1.0), st.kf_R[0].copy(), st.kf_t[0].copy())
+    from orbslam_jpminipc_tpu.pipeline.loop_closing import _compose_np, _inverse_np
+    s_cl, R_cl, t_cl = _compose_np(S_cw_gt, _inverse_np(S_lw))
+
+    lc = LoopCloser(cfg, st, None)
+    err_before = {
+        k: np.linalg.norm(-st.kf_R[k].T @ st.kf_t[k] - gt_center(k))
+        for k in range(N)
+    }
+    lc.correct_loop(N - 1, 0, s_cl, R_cl, t_cl, None, None)
+
+    # every mid-chain KF outside the covisible group {30, 31} moves
+    # substantially toward ground truth
+    for k in range(5, N - 2):
+        center = -st.kf_R[k].T @ st.kf_t[k]
+        err = np.linalg.norm(center - gt_center(k))
+        assert err < 0.35 * err_before[k] + 0.02, (k, err, err_before[k])
+    # the point remap preserves each observation in its REFERENCE keyframe
+    # exactly (Optimizer.cc:1701-1712 remaps through vScw[ref] then the
+    # optimized inverse — projection-invariant there; scale freedom means
+    # absolute positions can legitimately differ from GT)
+    for sidx in (4, N // 2, N - 4):
+        ids, _, _ = set_ids[sidx]
+        kf = sidx  # ref KF of set sidx
+        xc = st.mp_xyz[ids] @ st.kf_R[kf].T + st.kf_t[kf]
+        uv = np.stack([500 * xc[:, 0] / xc[:, 2] + 320,
+                       500 * xc[:, 1] / xc[:, 2] + 240], 1)
+        fsel = [int(np.nonzero(st.kf_point[kf] == m)[0][0]) for m in ids]
+        reproj = np.abs(uv - st.kf_xy[kf, fsel]).max()
+        assert reproj < 0.5, (sidx, reproj)
 
 
 def test_covisible_candidates_are_excluded(scene):

@@ -64,6 +64,19 @@ class TestNativeCulling:
         np.testing.assert_array_equal(st.kf_point, st_py.kf_point)
         np.testing.assert_array_equal(st.mp_valid, st_py.mp_valid)
         np.testing.assert_array_equal(st.mp_obs_kf, st_py.mp_obs_kf)
+        # strongest-covisible re-parenting must agree too
+        np.testing.assert_array_equal(st.kf_parent, st_py.kf_parent)
+
+    def test_reparenting_matches_python(self, rng):
+        st = build_test_state(rng)
+        # build a parent chain so culling exercises the re-binding path
+        st.kf_parent[1:6] = np.arange(0, 5)
+        st_py = clone(st)
+        cands = np.arange(1, 6)
+        culled_native = cull_redundant_keyframes_native(st, cands, redundancy=0.3)
+        culled_py = _cull_redundant_keyframes_py(st_py, cands, redundancy=0.3)
+        assert culled_native == culled_py
+        np.testing.assert_array_equal(st.kf_parent, st_py.kf_parent)
 
 
 class TestNativeBAObs:

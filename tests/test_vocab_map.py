@@ -82,6 +82,42 @@ class TestKeyFrameDatabase:
         q = db.query_bow(d, np.ones(100, bool))
         assert db.detect_reloc_candidates(q) == []
 
+    def test_cull_erases_from_database(self, rng):
+        """A culled keyframe must leave the inverted index (KeyFrame.cc:
+        586-587 -> KeyFrameDatabase::erase) so it stops competing as a
+        loop/reloc candidate."""
+        from orbslam_jpminipc_tpu.config import SlamConfig
+        from orbslam_jpminipc_tpu.pipeline.local_mapping import LocalMapper
+
+        cfg = SlamConfig(max_kf=8, max_mp=128, n_features=40)
+        st = MapState.create(max_kf=8, max_mp=128, n_feat=40, max_obs=8)
+        desc = rng.integers(0, 256, (40, 32)).astype(np.uint8)
+        for _ in range(5):
+            st.add_keyframe(
+                np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                rng.uniform(0, 640, (40, 2)).astype(np.float32),
+                np.zeros(40, np.int32), np.zeros(40, np.float32),
+                desc, np.ones(40, bool),
+            )
+        ids = st.add_points(
+            rng.uniform(-1, 1, (40, 3)).astype(np.float32), desc, ref_kf=0)
+        for i, p in enumerate(ids):
+            for k in range(5):
+                st.add_observation(int(p), k, i)
+
+        train = rng.integers(0, 256, (2000, 32)).astype(np.uint8)
+        v = voc.build_vocabulary(train, n_words=128, iters=2)
+        db = KeyFrameDatabase(v, max_kf=8)
+        for k in range(5):
+            db.add(k, st.kf_desc[k], st.kf_feat_valid[k])
+
+        mapper = LocalMapper(cfg, st, db)
+        erased = mapper.cull_keyframes(0)
+        assert erased, "expected fully-redundant keyframes to be culled"
+        for k in erased:
+            assert not st.kf_valid[k]
+            assert not db.present[k]
+
 
 class TestMapState:
     def make(self, rng):
@@ -145,6 +181,40 @@ class TestMapState:
         assert not st.mp_valid[p]
         assert st.mp_gen[p] == gen_before + 1
         assert not st.kf_valid[0]
+
+    def test_reparent_picks_strongest_covisible(self, rng):
+        """KeyFrame.cc:497-588: on deletion, each child re-binds to its
+        strongest covisible keyframe among {parent} + already-rebound
+        siblings, not blindly to the grandparent."""
+        st = MapState.create(max_kf=8, max_mp=128, n_feat=64, max_obs=4)
+        for _ in range(5):
+            st.add_keyframe(
+                np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                rng.uniform(0, 640, (64, 2)).astype(np.float32),
+                np.zeros(64, np.int32), np.zeros(64, np.float32),
+                rng.integers(0, 256, (64, 32)).astype(np.uint8),
+                np.ones(64, bool),
+            )
+        def share(n, kfs, f0):
+            ids = st.add_points(
+                rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+                rng.integers(0, 256, (n, 32)).astype(np.uint8), ref_kf=kfs[0],
+            )
+            for i, p in enumerate(ids):
+                for k in kfs:
+                    st.add_observation(int(p), k, f0 + i)
+        share(20, [0, 2], 0)    # KF2 strongly covisible with KF0
+        share(25, [2, 3], 20)   # KF3 strongly covisible with KF2 only
+        share(16, [1, 2], 45)   # the dying KF1 also sees some of KF2's view
+        st.kf_parent[1] = 0
+        st.kf_parent[2] = 1
+        st.kf_parent[3] = 1
+        st.kf_parent[4] = 1     # shares nothing: grandparent fallback
+        st.erase_keyframe(1)
+        assert st.kf_parent[2] == 0    # strongest covisible candidate
+        assert st.kf_parent[3] == 2    # re-bound to the promoted sibling
+        assert st.kf_parent[4] == 0    # fallback: grandparent
+        assert st.kf_parent[1] == -1
 
     def test_covisibility_counts(self, rng):
         st = self.make(rng)
