@@ -51,6 +51,12 @@ class SlamConfig:
     local_ba_fixed: int = 24   # fixed-KF budget
     local_ba_obs: int = 16384  # observation budget for local BA
 
+    # global BA over the whole map (scalable implicit-Schur solver)
+    post_loop_gba: bool = False   # run global BA after each loop closure
+    gba_iterations: int = 20      # LM budget (Optimizer.cc:38 default 5/20)
+    gba_cg_iters: int = 64        # PCG budget for the reduced camera system
+    gba_obs: int = 65536          # observation capacity of the global problem
+
     # vocabulary
     n_words: int = 4096
 

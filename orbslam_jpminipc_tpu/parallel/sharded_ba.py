@@ -119,7 +119,8 @@ def sharded_bundle_adjust(
         rho = jnp.where(c <= CHI2_MONO, c, 2.0 * jnp.sqrt(CHI2_MONO * c) - CHI2_MONO)
         return jnp.sum(jnp.where(obs_valid, rho, 0.0))
 
-    def step_fn(R, t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid, lam, chi):
+    def step_fn(R, t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+                lam, ni, chi):
         """One LM step; runs per-device on local shards inside shard_map."""
         Pl = pts.shape[0]
         Rk = R[obs_kf]
@@ -148,6 +149,7 @@ def sharded_bundle_adjust(
 
         # ---- the ONE collective: combine the reduced camera system ----
         Hcc = jax.lax.psum(Hcc, axis)
+        bc = jax.lax.psum(bc, axis)
         S = jax.lax.psum(S_part, axis)
         rhs = jax.lax.psum(rhs_part, axis)
 
@@ -172,15 +174,25 @@ def sharded_bundle_adjust(
         dR, dt = exp_se3(delta_c)
         R_new, t_new = compose(dR, dt, R, t)
         pts_new = pts + delta_p
+        # fuse {chi, predicted point-part} into one scalar psum
         chi_local = local_chi2(R_new, t_new, pts_new, obs_kf, obs_pt, obs_uv, obs_w, obs_valid)
-        chi_new = jax.lax.psum(chi_local, axis)
-        accept = chi_new < chi
+        pred_p_local = 0.5 * jnp.sum(delta_p * (lam * delta_p - bp))
+        chi_new, pred_p = jax.lax.psum(
+            jnp.stack([chi_local, pred_p_local]), axis)
+        # g2o gain-ratio schedule — identical to the single-device solver
+        # (solvers/ba.py) so both paths follow the same damping trajectory
+        pred = 0.5 * jnp.sum(delta_c * (lam * delta_c - bc)) + pred_p
+        rho = (chi - chi_new) / jnp.where(jnp.abs(pred) < 1e-30, 1e-30, pred)
+        accept = (rho > 0) & (chi_new < chi) & jnp.isfinite(chi_new)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         pts = jnp.where(accept, pts_new, pts)
         chi = jnp.where(accept, chi_new, chi)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return R, t, pts, lam, chi
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam * factor, lam * ni)
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        ni = jnp.where(accept, 2.0, ni * 2.0)
+        return R, t, pts, lam, ni, chi
 
     def kernel(kf_R, kf_t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid):
         # shard_map passes per-device blocks with the shard axis collapsed
@@ -196,12 +208,29 @@ def sharded_bundle_adjust(
             local_chi2(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid), axis
         )
 
-        def body(_, state):
-            R, t, p, lam, chi = state
-            return step_fn(R, t, p, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid, lam, chi)
+        # lambda init = tau * max(diag H) like the single-device path
+        # (g2o optimization_algorithm_levenberg.cpp:47, tau = 1e-5); the
+        # diagonal max is a pmax over shards
+        Rk0, tk0, xw0 = kf_R[obs_kf], kf_t[obs_kf], pts[obs_pt]
+        e0, _ = residuals(Rk0, tk0, xw0, obs_uv, sprob.K4)
+        Jc0, Jp0, _ = jacobians(Rk0, tk0, xw0, sprob.K4)
+        c0 = jnp.sum(e0 * e0, axis=-1) * obs_w
+        w0 = obs_w * huber_weight(c0) * obs_valid
+        diag_c = jnp.zeros((K, 6), e0.dtype).at[obs_kf].add(
+            jnp.einsum("oij,oij->oj", Jc0 * w0[:, None, None], Jc0))
+        diag_p = jnp.zeros((pts.shape[0], 3), e0.dtype).at[obs_pt].add(
+            jnp.einsum("oij,oij->oj", Jp0 * w0[:, None, None], Jp0))
+        max_diag = jnp.maximum(jnp.max(jnp.abs(diag_c)), jnp.max(jnp.abs(diag_p)))
+        max_diag = jax.lax.pmax(max_diag, axis)
+        lam0 = 1e-5 * max_diag
 
-        R, t, p, _, chi = jax.lax.fori_loop(
-            0, iterations, body, (kf_R, kf_t, pts, jnp.float32(1e-4), chi0)
+        def body(_, state):
+            R, t, p, lam, ni, chi = state
+            return step_fn(R, t, p, pv, obs_kf, obs_pt, obs_uv, obs_w,
+                           obs_valid, lam, ni, chi)
+
+        R, t, p, _, _, chi = jax.lax.fori_loop(
+            0, iterations, body, (kf_R, kf_t, pts, lam0, jnp.float32(2.0), chi0)
         )
         return R, t, p[None], chi
 

@@ -18,7 +18,7 @@ from ..frontend.frame import Frame, build_frame
 from ..frontend.tracking import Tracker, TrackState
 from ..map.map_state import MapState
 from ..map.keyframe_db import KeyFrameDatabase
-from ..solvers import ba
+from ..solvers import ba, gba
 from ..utils.tracing import get_tracer
 from ..vocab.vocabulary import Vocabulary
 from .local_mapping import LocalMapper
@@ -204,6 +204,95 @@ class Slam:
                 self.n_loops_closed += 1
                 self.tracer.log("loop_closed", kf=int(kf))
                 self.tracker.force_relocalization()
+                if self.cfg.post_loop_gba:
+                    with self.tracer.stage("global_ba"):
+                        self.global_ba()
+
+    # ------------------------------------------------------------------
+    # global bundle adjustment over the whole map (Optimizer.cc:38-152)
+    # ------------------------------------------------------------------
+
+    def build_global_ba_problem(self):
+        """Full-map BAProblem at fixed capacity (max_kf, max_mp, gba_obs):
+        every valid keyframe is a vertex (oldest one fixed as the gauge,
+        GlobalBundleAdjustemnt fixes mnId==0, Optimizer.cc:87), every valid
+        point a landmark, observations gathered from the adjacency."""
+        st, cfg = self.map, self.cfg
+        pts = np.nonzero(st.mp_valid)[0]
+        kf_index = np.where(
+            st.kf_valid, np.arange(st.max_kf), -1
+        ).astype(np.int32)
+        O = cfg.gba_obs
+        obs_kf = np.zeros(O, np.int32)
+        obs_pt = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 2), np.float32)
+        obs_w = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        from ..native import build_ba_obs_native
+
+        native = build_ba_obs_native(st, pts, kf_index, O)
+        if native is not None:
+            okf, _, ofe, osp, osk = native
+        else:
+            okf, ofe, osp, osk = [], [], [], []
+            for p in pts:
+                for s in np.nonzero(st.mp_obs_kf[p] >= 0)[0]:
+                    if len(okf) >= O:
+                        break
+                    okf.append(int(st.mp_obs_kf[p, s]))
+                    ofe.append(int(st.mp_obs_feat[p, s]))
+                    osp.append(int(p))
+                    osk.append(int(st.mp_obs_kf[p, s]))
+            okf, ofe = np.array(okf, np.int32), np.array(ofe, np.int32)
+            osp, osk = np.array(osp, np.int32), np.array(osk, np.int32)
+        n = len(okf)
+        obs_kf[:n] = okf
+        obs_pt[:n] = osp           # kf_index is the identity on valid KFs
+        obs_uv[:n] = st.kf_xy[osk, ofe]
+        lv = np.clip(st.kf_level[osk, ofe], 0, cfg.n_levels - 1)
+        obs_w[:n] = cfg.inv_sigma2[lv]
+        obs_valid[:n] = True
+
+        fixed = ~st.kf_valid.copy()
+        if st.kf_valid.any():
+            gauge = int(
+                np.nonzero(st.kf_valid)[0][
+                    np.argmin(st.kf_frame_id[st.kf_valid])
+                ]
+            )
+            fixed[gauge] = True
+        return ba.BAProblem(
+            kf_R=jnp.array(st.kf_R), kf_t=jnp.array(st.kf_t),
+            kf_fixed=jnp.array(fixed),
+            points=jnp.array(st.mp_xyz), point_valid=jnp.array(st.mp_valid),
+            obs_kf=jnp.array(obs_kf), obs_pt=jnp.array(obs_pt),
+            obs_uv=jnp.array(obs_uv), obs_w=jnp.array(obs_w),
+            obs_valid=jnp.array(obs_valid), K4=jnp.array(cfg.K4),
+        ), n
+
+    def global_ba(self, iterations: int | None = None):
+        """Run the scalable implicit-Schur global BA and write back poses
+        and points. The reference's global variant does not erase outlier
+        observations (only local BA does, Optimizer.cc:453-470)."""
+        st, cfg = self.map, self.cfg
+        prob, n_obs = self.build_global_ba_problem()
+        if n_obs < 20:
+            return
+        res = gba.bundle_adjust_large(
+            prob,
+            iterations=cfg.gba_iterations if iterations is None else iterations,
+            cg_iters=cfg.gba_cg_iters,
+        )
+        kf_R = np.asarray(res.kf_R)
+        kf_t = np.asarray(res.kf_t)
+        fixed = np.asarray(prob.kf_fixed)
+        live = st.kf_valid & ~fixed
+        st.kf_R[live] = kf_R[live]
+        st.kf_t[live] = kf_t[live]
+        st.mp_xyz[st.mp_valid] = np.asarray(res.points)[st.mp_valid]
+        st.update_point_attributes(
+            np.nonzero(st.mp_valid)[0], cfg.scale_factors
+        )
 
     # ------------------------------------------------------------------
 

@@ -115,7 +115,10 @@ from .linalg3 import inv3 as _inv3  # canonical closed-form 3x3 inverse
 
 
 def _solve_delta(prob: BAProblem, R, t, pts, lam):
-    """One damped Schur-reduced solve. Returns (delta_c (K,6), delta_p (P,3))."""
+    """One damped Schur-reduced solve.
+
+    Returns (delta_c (K,6), delta_p (P,3), bc, bp) — the gradients feed the
+    LM gain-ratio computation."""
     K = prob.kf_R.shape[0]
     Hcc, bc, Hll, bp, A = _build_normal_eq(prob, R, t, pts)
 
@@ -150,7 +153,7 @@ def _solve_delta(prob: BAProblem, R, t, pts, lam):
     At_dc = jnp.einsum("pcij,ci->pj", A, delta_c)    # sum_c A[p,c]^T dc_c
     delta_p = jnp.einsum("pij,pj->pi", U, -bp - At_dc)
     delta_p = jnp.where(prob.point_valid[:, None], delta_p, 0.0)
-    return delta_c, delta_p
+    return delta_c, delta_p, bc, bp
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
@@ -171,23 +174,34 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, lam0: float = -1.0) -> 
     chi0 = _robust_chi2(prob, prob.kf_R, prob.kf_t, prob.points)
 
     def body(_, state):
-        R, t, pts, lam, chi = state
-        dc, dp = _solve_delta(prob, R, t, pts, lam)
+        R, t, pts, lam, ni, chi = state
+        dc, dp, bc, bp = _solve_delta(prob, R, t, pts, lam)
         dR, dt = exp_se3(dc)
         R_new, t_new = compose(dR, dt, R, t)
         # fixed cameras keep their exact pose (delta is 0 there anyway)
         pts_new = pts + dp
         chi_new = _robust_chi2(prob, R_new, t_new, pts_new)
-        accept = chi_new < chi
+        # g2o's gain-ratio schedule (optimization_algorithm_levenberg.cpp:
+        # 100-160): rho = actual / predicted reduction with predicted =
+        # 0.5 delta^T (lam delta - grad); accept shrinks lam by
+        # max(1/3, 1-(2rho-1)^3) and resets ni=2, reject doubles ni
+        pred = 0.5 * (jnp.sum(dc * (lam * dc - bc)) +
+                      jnp.sum(dp * (lam * dp - bp)))
+        rho = (chi - chi_new) / jnp.where(jnp.abs(pred) < 1e-30, 1e-30, pred)
+        accept = (rho > 0) & (chi_new < chi) & jnp.isfinite(chi_new)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         pts = jnp.where(accept, pts_new, pts)
         chi = jnp.where(accept, chi_new, chi)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return R, t, pts, lam, chi
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam * factor, lam * ni)
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        ni = jnp.where(accept, 2.0, ni * 2.0)
+        return R, t, pts, lam, ni, chi
 
-    R, t, pts, _, chi = jax.lax.fori_loop(
-        0, iterations, body, (prob.kf_R, prob.kf_t, prob.points, lam_init, chi0)
+    R, t, pts, _, _, chi = jax.lax.fori_loop(
+        0, iterations, body,
+        (prob.kf_R, prob.kf_t, prob.points, lam_init, jnp.float32(2.0), chi0),
     )
 
     # outlier classification at the solution (Optimizer.cc:453-470)

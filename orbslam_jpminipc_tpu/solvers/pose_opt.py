@@ -34,21 +34,26 @@ class PoseOptResult(NamedTuple):
     chi2: jax.Array      # final total chi2 over inliers
 
 
-def _gauss_newton_step(R, t, xw, uv, K4, w, lam):
-    """One damped GN step over active (weighted) observations."""
+def _normal_eq(R, t, xw, uv, K4, w):
+    """Weighted normal equations: H = sum J^T w J, b = sum J^T w e."""
     e, _ = residuals(R, t, xw, uv, K4)
     Jp, _, _ = jacobians(R, t, xw, K4)
-    # weighted normal equations: H = sum J^T w J, b = sum J^T w e
     Jw = Jp * w[..., None, None]
     H = jnp.einsum("nij,nik->jk", Jw, Jp)
     b = jnp.einsum("nij,ni->j", Jw, e)
-    H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=H.dtype)
-    # closed-form blockwise solve: tiny LU factorizations lower to slow
-    # scalar loops on TPU, and this 6x6 solve sits on the sequential
-    # critical path of every GN iteration
-    delta = -solve6_spd(H, b)
+    return H, b
+
+
+def _lm_step(R, t, xw, uv, K4, w, H, b, lam):
+    """One additively-damped step (g2o sets lambda on the diagonal,
+    block_solver.hpp setLambda). Closed-form 6x6 solve: tiny LU
+    factorizations lower to slow scalar loops on TPU, and this solve sits
+    on the sequential critical path of every LM iteration."""
+    Hd = H + lam * jnp.eye(6, dtype=H.dtype) + 1e-10 * jnp.eye(6, dtype=H.dtype)
+    delta = -solve6_spd(Hd, b)
     dR, dt = exp_se3(delta)
-    return compose(dR, dt, R, t)
+    R_new, t_new = compose(dR, dt, R, t)
+    return R_new, t_new, delta
 
 
 @functools.partial(jax.jit, static_argnames=("use_huber_rounds",))
@@ -70,20 +75,58 @@ def optimize_pose(
         c = jnp.sum(e * e, axis=-1) * inv_sigma2
         return c, p[..., 2] > 0
 
+    delta2 = jnp.float32(5.991)
+
     R, t = R0, t0
     for rnd in range(4):
         gate = _CHI2_GATES[rnd]
         use_huber = rnd < use_huber_rounds
 
-        def lm_body(_, Rt):
-            R, t = Rt
+        def robust_chi2(R, t, inlier=inlier, use_huber=use_huber):
+            c, _ = chi2_of(R, t)
+            if use_huber:
+                rho = jnp.where(c <= delta2, c,
+                                2.0 * jnp.sqrt(delta2 * c) - delta2)
+            else:
+                rho = c
+            return jnp.sum(jnp.where(inlier, rho, 0.0))
+
+        def weights(R, t, inlier=inlier, use_huber=use_huber):
             c, _ = chi2_of(R, t)
             w = inv_sigma2 * jnp.where(inlier, 1.0, 0.0)
             if use_huber:
                 w = w * huber_weight(c)
-            return _gauss_newton_step(R, t, xw, uv, K4, w, jnp.float32(1e-3))
+            return w
 
-        R, t = jax.lax.fori_loop(0, _ROUND_ITERS[rnd], lm_body, (R, t))
+        # full LM with backup/restore semantics per round, lambda init =
+        # tau * max(diag H) (optimization_algorithm_levenberg.cpp:47,100-160)
+        H0, _ = _normal_eq(R, t, xw, uv, K4, weights(R, t))
+        lam0 = 1e-5 * jnp.max(jnp.abs(jnp.diag(H0)))
+        chi_r = robust_chi2(R, t)
+
+        def lm_body(_, state, inlier=inlier, use_huber=use_huber):
+            R, t, lam, ni, chi = state
+            w = weights(R, t, inlier, use_huber)
+            H, b = _normal_eq(R, t, xw, uv, K4, w)
+            R_new, t_new, delta = _lm_step(R, t, xw, uv, K4, w, H, b, lam)
+            chi_new = robust_chi2(R_new, t_new, inlier, use_huber)
+            pred = 0.5 * jnp.sum(delta * (lam * delta - b))
+            rho = (chi - chi_new) / jnp.where(
+                jnp.abs(pred) < 1e-30, 1e-30, pred)
+            accept = (rho > 0) & (chi_new < chi) & jnp.isfinite(chi_new)
+            R = jnp.where(accept, R_new, R)
+            t = jnp.where(accept, t_new, t)
+            chi = jnp.where(accept, chi_new, chi)
+            factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            lam = jnp.where(accept, lam * factor, lam * ni)
+            lam = jnp.clip(lam, 1e-15, 1e10)
+            ni = jnp.where(accept, 2.0, ni * 2.0)
+            return R, t, lam, ni, chi
+
+        R, t, _, _, _ = jax.lax.fori_loop(
+            0, _ROUND_ITERS[rnd], lm_body,
+            (R, t, lam0, jnp.float32(2.0), chi_r),
+        )
         # re-level: recompute inliers from scratch (outliers can return)
         c, pos = chi2_of(R, t)
         inlier = valid & (c <= gate) & pos
