@@ -1,19 +1,19 @@
-"""Benchmark: flagship per-frame SLAM pipeline on real TPU hardware.
+"""Benchmark on real TPU hardware.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE JSON line. Headline metric: END-TO-END sequential SLAM fps —
+the FULL system (extraction, tracking, keyframe mapping spikes with
+triangulation/fusion/local BA/culling, BoW place recognition, loop
+closing) over a 120-frame synthetic sequence, wall-clock, host loop
+included. Baseline: the reference's 30 fps real-time tracking claim
+(BASELINE.md; src/Tracking.cc:72-74).
 
-Headline metric: end-to-end tracked frames/s per chip for the FULL per-frame
-pipeline — 8-level ORB pyramid extraction (1000 features) + the fused
-tracking step (frustum cull + MXU Hamming matching + 4-round pose
-optimization, 4096-point local map) — measured in streaming mode: each
-frame's predicted pose is the previous frame's optimized pose (a true
-sequential dependency chain on device), host blocks once at the end.
-Baseline: the reference's real-time claim of 30 fps tracking on a desktop
-CPU (BASELINE.md; src/Tracking.cc:72-74 default camera rate).
+`extra` carries the throughput-oriented numbers: the fused per-frame
+pipeline (extract + tracking_step streamed on-device — the r01 headline),
+per-kernel ms/iteration for local BA, global BA, and the essential graph
+(the BASELINE.md kernel rows), and per-stage p50/p95 from the tracer.
 
-Secondary metrics (stderr): ORB extraction latency, tracking-step latency,
-local-BA ms/iteration.
+The persistent compilation cache (.jax_cache) makes warm runs reflect
+steady-state execution, not the remote-compile path.
 """
 import json
 import sys
@@ -38,12 +38,10 @@ def stream_time(fn, n=30, reps=4, warmup=2):
     return best * 1e3
 
 
-def main():
+def bench_fused(dev):
+    """The fused extract + tracking_step chain (r01 headline)."""
     import jax
     import jax.numpy as jnp
-
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
 
     from orbslam_jpminipc_tpu.models.slam_step import (
         tracking_step, example_tracking_args,
@@ -59,14 +57,12 @@ def main():
     img = jax.device_put(
         jnp.array(rng.integers(0, 255, (480, 640)).astype(np.float32)), dev
     )
-
     n_feat = 1024
 
     def pad_to(x, n):
         pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad)
 
-    # --- full frame pipeline, chained on the optimized pose ---
     state = {"R": R0, "t": t0}
 
     def frame():
@@ -82,57 +78,213 @@ def main():
         return out
 
     dt = stream_time(frame, n=30)
-    fps = 1000.0 / dt
-    print(f"frame pipeline (extract+track): {dt:.3f} ms -> {fps:.1f} fps",
-          file=sys.stderr)
-
-    # secondary: ORB extraction alone
     dt_ex = stream_time(lambda: extract(img, n_features=1000, n_levels=8), n=20)
-    print(f"orb_extract: {dt_ex:.3f} ms", file=sys.stderr)
+    print(f"fused pipeline: {dt:.3f} ms ({1000/dt:.1f} fps); extract {dt_ex:.3f} ms",
+          file=sys.stderr)
+    return dt, dt_ex
 
-    # secondary: fused tracking step alone
-    dt_tr = stream_time(lambda: tracking_step(*args), n=30)
-    print(f"tracking_step: {dt_tr:.3f} ms", file=sys.stderr)
 
-    # secondary: local BA per-iteration cost (24 KFs, 4096 points, 16k obs)
-    try:
-        from orbslam_jpminipc_tpu.solvers.ba import BAProblem, bundle_adjust
+def bench_local_ba(dev):
+    import jax
+    import jax.numpy as jnp
 
-        rng = np.random.default_rng(1)
-        K, P, O = 24, 4096, 16384
-        prob = BAProblem(
-            kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
-            kf_t=jnp.array(rng.normal(0, 0.1, (K, 3)).astype(np.float32)),
-            kf_fixed=jnp.array([True] + [False] * (K - 1)),
-            points=jnp.array(
-                np.stack([rng.uniform(-2, 2, P), rng.uniform(-2, 2, P), rng.uniform(2, 6, P)], 1
-                ).astype(np.float32)
-            ),
-            point_valid=jnp.ones(P, bool),
-            obs_kf=jnp.array(rng.integers(0, K, O).astype(np.int32)),
-            obs_pt=jnp.array(rng.integers(0, P, O).astype(np.int32)),
-            obs_uv=jnp.array(rng.uniform(0, 640, (O, 2)).astype(np.float32)),
-            obs_w=jnp.ones(O, jnp.float32),
-            obs_valid=jnp.ones(O, bool),
-            K4=jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32),
-        )
-        prob = jax.device_put(prob, dev)
-        dt_ba = stream_time(lambda: bundle_adjust(prob, iterations=10), n=5)
-        print(f"local_ba (24 KF / 4096 pts / 16k obs): {dt_ba/10:.3f} ms/iter",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"local_ba failed: {e}", file=sys.stderr)
+    from orbslam_jpminipc_tpu.solvers.ba import BAProblem, bundle_adjust
 
-    print(
-        json.dumps(
-            {
-                "metric": "frame_pipeline_fps_per_chip",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 2),
-            }
-        )
+    rng = np.random.default_rng(1)
+    K, P, O = 24, 4096, 16384
+    prob = BAProblem(
+        kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        kf_t=jnp.array(rng.normal(0, 0.1, (K, 3)).astype(np.float32)),
+        kf_fixed=jnp.array([True] + [False] * (K - 1)),
+        points=jnp.array(
+            np.stack([rng.uniform(-2, 2, P), rng.uniform(-2, 2, P),
+                      rng.uniform(2, 6, P)], 1).astype(np.float32)
+        ),
+        point_valid=jnp.ones(P, bool),
+        obs_kf=jnp.array(rng.integers(0, K, O).astype(np.int32)),
+        obs_pt=jnp.array(rng.integers(0, P, O).astype(np.int32)),
+        obs_uv=jnp.array(rng.uniform(0, 640, (O, 2)).astype(np.float32)),
+        obs_w=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        K4=jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32),
     )
+    prob = jax.device_put(prob, dev)
+    dt = stream_time(lambda: bundle_adjust(prob, iterations=10), n=5) / 10
+    print(f"local_ba (24 KF / 4k pts / 16k obs): {dt:.3f} ms/iter", file=sys.stderr)
+    return dt
+
+
+def bench_global_ba(dev):
+    """Full-capacity implicit-Schur PCG global BA (Optimizer.cc:38-152 scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam_jpminipc_tpu.solvers.ba import BAProblem
+    from orbslam_jpminipc_tpu.solvers.gba import bundle_adjust_large
+
+    rng = np.random.default_rng(2)
+    K, P, O = 256, 16384, 65536
+    prob = BAProblem(
+        kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        kf_t=jnp.array(rng.normal(0, 0.1, (K, 3)).astype(np.float32)),
+        kf_fixed=jnp.array([True] + [False] * (K - 1)),
+        points=jnp.array(
+            np.stack([rng.uniform(-3, 3, P), rng.uniform(-3, 3, P),
+                      rng.uniform(2, 8, P)], 1).astype(np.float32)
+        ),
+        point_valid=jnp.ones(P, bool),
+        obs_kf=jnp.array(rng.integers(0, K, O).astype(np.int32)),
+        obs_pt=jnp.array(rng.integers(0, P, O).astype(np.int32)),
+        obs_uv=jnp.array(rng.uniform(0, 640, (O, 2)).astype(np.float32)),
+        obs_w=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        K4=jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32),
+    )
+    prob = jax.device_put(prob, dev)
+    iters = 5
+    dt = stream_time(
+        lambda: bundle_adjust_large(prob, iterations=iters, cg_iters=32),
+        n=2, reps=2, warmup=1,
+    ) / iters
+    print(f"global_ba (256 KF / 16k pts / 64k obs, cg32): {dt:.3f} ms/iter",
+          file=sys.stderr)
+    return dt
+
+
+def bench_essential_graph(dev):
+    """Sim3 pose graph at map capacity (Optimizer.cc:1470-1719 scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam_jpminipc_tpu.solvers.essential_graph import (
+        EssentialGraphProblem, optimize_essential_graph,
+    )
+
+    rng = np.random.default_rng(3)
+    K, E = 256, 2048
+    t_true = np.cumsum(rng.normal(0, 0.1, (K, 3)), 0).astype(np.float32)
+    e_i = rng.integers(0, K, E).astype(np.int32)
+    e_j = np.minimum(e_i + 1 + rng.integers(0, 8, E), K - 1).astype(np.int32)
+    e_t = (t_true[e_j] - t_true[e_i]).astype(np.float32)
+    prob = EssentialGraphProblem(
+        s=jnp.ones(K, jnp.float32),
+        R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        t=jnp.array(t_true + rng.normal(0, 0.05, (K, 3)).astype(np.float32)),
+        fixed=jnp.array([True] + [False] * (K - 1)),
+        e_i=jnp.array(e_i), e_j=jnp.array(e_j),
+        e_s=jnp.ones(E, jnp.float32),
+        e_R=jnp.tile(jnp.eye(3)[None], (E, 1, 1)),
+        e_t=jnp.array(e_t),
+        e_valid=jnp.array(e_i != e_j),
+    )
+    prob = jax.device_put(prob, dev)
+    iters = 20
+    dt = stream_time(
+        lambda: optimize_essential_graph(prob, iterations=iters),
+        n=3, reps=2, warmup=1,
+    ) / iters
+    print(f"essential_graph (256 KF / 2048 edges): {dt:.3f} ms/iter",
+          file=sys.stderr)
+    return dt
+
+
+def bench_e2e():
+    """Honest end-to-end run: the full system over a synthetic sequence,
+    including keyframe mapping spikes and loop closing. One warmup segment
+    triggers any remaining compiles; the timed run starts fresh."""
+    import os
+
+    from orbslam_jpminipc_tpu.config import SlamConfig
+    from orbslam_jpminipc_tpu.io.dataset import SyntheticSequence
+    from orbslam_jpminipc_tpu.io.trajectory import ate_rmse
+    from orbslam_jpminipc_tpu.pipeline.system import Slam
+    from orbslam_jpminipc_tpu.vocab.vocabulary import load_vocabulary
+
+    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                     k1=0.0, k2=0.0, p1=0.0, p2=0.0, n_features=1000)
+    voc = load_vocabulary(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "orbslam_jpminipc_tpu", "data", "vocab_synthetic.npz"))
+
+    n_frames = 120
+    seq = SyntheticSequence(n_frames=n_frames, trajectory="xyz", seed=0)
+    frames = [seq.get(i) for i in range(n_frames)]
+
+    # warmup: compile everything the steady-state path touches
+    warm = Slam(cfg, vocab=voc)
+    for img, ts, _ in frames[:40]:
+        warm.process(img, ts)
+
+    slam = Slam(cfg, vocab=voc)
+    t0 = time.perf_counter()
+    for img, ts, _ in frames:
+        slam.process(img, ts)
+    wall = time.perf_counter() - t0
+    fps = n_frames / wall
+
+    gt = {round(float(seq.timestamps[i]), 6): seq.poses[i] for i in range(n_frames)}
+    est_c, gt_c = [], []
+    for ts, R, t in slam.trajectory:
+        if round(ts, 6) in gt:
+            Rg, tg = gt[round(ts, 6)]
+            gt_c.append(-Rg.T @ tg)
+            est_c.append(-R.T @ t)
+    ate = (ate_rmse(np.stack(est_c), np.stack(gt_c))
+           if len(est_c) > 10 else float("nan"))
+    stages = slam.tracer.summary()
+    print(f"e2e: {n_frames} frames in {wall:.1f}s = {fps:.2f} fps, "
+          f"{slam.n_keyframes} KFs, {slam.n_points} pts, ATE {ate:.4f} m",
+          file=sys.stderr)
+    for k, v in stages.items():
+        print(f"  stage {k}: p50 {v['p50_ms']} ms  p95 {v['p95_ms']} ms  "
+              f"x{v['count']}", file=sys.stderr)
+    return {
+        "fps": round(fps, 2),
+        "frames": n_frames,
+        "keyframes": slam.n_keyframes,
+        "points": slam.n_points,
+        "tracked": len(slam.trajectory),
+        "ate_m": round(float(ate), 4),
+        "stage_p50_ms": {k: v["p50_ms"] for k, v in stages.items()},
+        "stage_p95_ms": {k: v["p95_ms"] for k, v in stages.items()},
+    }
+
+
+def main():
+    from orbslam_jpminipc_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    extra = {}
+    dt_fused, dt_ex = bench_fused(dev)
+    extra["fused_pipeline_fps"] = round(1000.0 / dt_fused, 1)
+    extra["orb_extract_ms"] = round(dt_ex, 3)
+    for name, fn in (
+        ("local_ba_ms_per_iter", bench_local_ba),
+        ("global_ba_ms_per_iter", bench_global_ba),
+        ("essential_graph_ms_per_iter", bench_essential_graph),
+    ):
+        try:
+            extra[name] = round(fn(dev), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} failed: {e}", file=sys.stderr)
+
+    e2e = bench_e2e()
+    fps = e2e.pop("fps")
+    extra.update(e2e)
+
+    print(json.dumps({
+        "metric": "e2e_slam_fps_per_chip",
+        "value": fps,
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "extra": extra,
+    }))
 
 
 if __name__ == "__main__":

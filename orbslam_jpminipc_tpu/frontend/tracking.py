@@ -16,14 +16,12 @@ growth belongs to the local-mapping stage.
 from __future__ import annotations
 
 import enum
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..geometry import se3
 from ..map.map_state import MapState
 from ..map.keyframe_db import KeyFrameDatabase
 from ..ops import matching
@@ -132,13 +130,13 @@ class Tracker:
                 self.state = TrackState.WORKING
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
-                # motion model velocity (Tracking.cc:297-310)
+                # motion model velocity (Tracking.cc:297-310). Host numpy:
+                # a 3x3 compose is not worth a device dispatch per frame.
                 if self.last_frame is not None and self.last_frame.R is not None:
-                    Rl, tl = se3.inverse(
-                        jnp.array(self.last_frame.R), jnp.array(self.last_frame.t)
-                    )
-                    Rv, tv = se3.compose(jnp.array(frame.R), jnp.array(frame.t), Rl, tl)
-                    self.velocity = (np.asarray(Rv), np.asarray(tv))
+                    Rl, tl = self.last_frame.R, self.last_frame.t
+                    Rv = frame.R @ Rl.T
+                    tv = frame.t - Rv @ tl
+                    self.velocity = (Rv, tv)
             else:
                 self.state = TrackState.LOST
                 self.velocity = None
@@ -192,8 +190,7 @@ class Tracker:
         lf = self.last_frame
         if self.velocity is not None and self.cfg.use_motion_model:
             Rv, tv = self.velocity
-            R, t = se3.compose(jnp.array(Rv), jnp.array(tv), jnp.array(lf.R), jnp.array(lf.t))
-            return np.asarray(R), np.asarray(t)
+            return Rv @ lf.R, Rv @ lf.t + tv
         return lf.R.copy(), lf.t.copy()
 
     def _track_frame(self, frame: Frame) -> bool:
@@ -281,10 +278,8 @@ class Tracker:
         neighbors (UpdateReferenceKeyFrames, Tracking.cc:804-860)."""
         has = (frame.point >= 0) & ~frame.outlier
         pts = frame.point[has]
-        votes = np.zeros(self.map.max_kf, np.int64)
-        for p in pts:
-            obs = self.map.mp_obs_kf[p]
-            votes[obs[obs >= 0]] += 1
+        obs = self.map.mp_obs_kf[pts]  # (n, MAX_OBS)
+        votes = np.bincount(obs[obs >= 0], minlength=self.map.max_kf)
         k1 = np.nonzero(votes)[0]
         if len(k1) == 0:
             return k1

@@ -37,7 +37,9 @@ def save_world(path: str, state: MapState, kfdb=None):
         np.int64,
     )
     if kfdb is not None:
-        payload["kfdb_bow"] = kfdb.bow
+        payload["kfdb_bow_ids"] = kfdb.bow_ids
+        payload["kfdb_bow_vals"] = kfdb.bow_vals
+        payload["kfdb_bow_n"] = kfdb.bow_n
         payload["kfdb_present"] = kfdb.present
     np.savez_compressed(path, **payload)
 
@@ -53,9 +55,19 @@ def load_world(path: str, kfdb=None) -> MapState:
     state.next_mp_id = next_mp
     edges = json.loads(bytes(z["loop_edges"]).decode())
     state.kf_loop_edges = [set(e) for e in edges]
-    if kfdb is not None and "kfdb_bow" in z:
-        kfdb.bow[...] = z["kfdb_bow"]
+    if kfdb is not None and "kfdb_bow_ids" in z:
+        kfdb.bow_ids[...] = z["kfdb_bow_ids"]
+        kfdb.bow_vals[...] = z["kfdb_bow_vals"]
+        kfdb.bow_n[...] = z["kfdb_bow_n"]
         kfdb.present[...] = z["kfdb_present"]
+        # rebuild the inverted file (the reference re-adds loaded KFs to the
+        # database the same way, SaveLoadWorld.h load path)
+        kfdb._inv.clear()
+        for kf in np.nonzero(kfdb.present)[0]:
+            n = int(kfdb.bow_n[kf])
+            for w, v in zip(kfdb.bow_ids[kf, :n].tolist(),
+                            kfdb.bow_vals[kf, :n].tolist()):
+                kfdb._inv.setdefault(w, {})[int(kf)] = v
     return state
 
 

@@ -1,112 +1,137 @@
 """Keyframe database: loop-closure and relocalization candidate retrieval.
 
-Replaces src/KeyFrameDatabase.cc (310 LoC). The reference keeps an inverted
-file (word id -> list of keyframes) and scans shared-word counts; here the
-database is a dense (MAX_KF, W) matrix of BoW vectors, and every query is
-one L1-similarity pass over all keyframes (vocab.score_l1) followed by the
-reference's exact gating logic:
+Replaces src/KeyFrameDatabase.cc (310 LoC) with the same structure the
+reference uses — sparse BoW vectors + an inverted file (word id ->
+observing keyframes) — because that structure is what scales to an
+ORBvoc-size vocabulary (~1M words): a dense (MAX_KF, W) matrix would be
+~1 GB. The BoW transform itself runs on device (flat nearest-word matmul
+for small vocabularies, batched tree descent for large ones,
+vocab/tree.py); the candidate gating below is host bookkeeping.
 
-  DetectLoopCandidates (KeyFrameDatabase.cc:75-196):
-    - exclude the query's covisible keyframes,
-    - require score >= minScore (min BoW similarity among covisible KFs),
-    - accumulate scores over each candidate's top-10 covisibility group,
-    - return candidates whose group score > 0.75 * best group score.
+DetectLoopCandidates (KeyFrameDatabase.cc:75-196):
+  - exclude the query's covisible keyframes,
+  - count shared words via the inverted file; keep candidates with
+    > 0.8 * maxCommonWords shared words (:119),
+  - require L1 score >= minScore (min BoW similarity among covisible KFs),
+  - accumulate scores over each candidate's top-10 covisibility group,
+  - return best-of-group for groups scoring > 0.75 * best group score.
 
-  DetectRelocalisationCandidates (:198-308): same without the covisibility
-  exclusion / minScore gate.
+DetectRelocalisationCandidates (:198-308): same gates without the
+covisibility exclusion / minScore.
+
+L1 similarity of L1-normalized sparse vectors reduces to
+s = sum_common min(v_i, w_i)  (ScoringObject.cpp:30-68 algebra).
 """
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..vocab import vocabulary as voc
+from ..vocab import tree as vtree
 
 
 class KeyFrameDatabase:
-    def __init__(self, vocab: voc.Vocabulary, max_kf: int):
+    def __init__(self, vocab, max_kf: int, max_words_per_kf: int = 2048):
         self.vocab = vocab
-        self.bow = np.zeros((max_kf, vocab.n_words), np.float32)
+        self.max_kf = max_kf
+        S = max_words_per_kf
+        self.bow_ids = np.full((max_kf, S), -1, np.int32)
+        self.bow_vals = np.zeros((max_kf, S), np.float32)
+        self.bow_n = np.zeros(max_kf, np.int32)
         self.present = np.zeros(max_kf, bool)
+        # inverted file: word id -> {kf: weight}
+        self._inv: dict[int, dict[int, float]] = {}
+
+    # -- BoW transform (device) ----------------------------------------
+
+    def _word_ids(self, desc: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        if isinstance(self.vocab, vtree.TreeVocabulary):
+            return np.asarray(vtree.word_ids(self.vocab, jnp.array(desc)))
+        return np.asarray(voc.nearest_word(jnp.array(desc), self.vocab.words))
+
+    def query_bow(self, desc: np.ndarray, feat_valid: np.ndarray):
+        """(ids, vals): sorted word ids + L1-normalized tf-idf weights."""
+        wid = self._word_ids(desc)
+        return vtree.sparse_bow(self.vocab, wid, feat_valid)
+
+    def bow_of(self, kf: int):
+        n = int(self.bow_n[kf])
+        return self.bow_ids[kf, :n], self.bow_vals[kf, :n]
+
+    # -- maintenance -----------------------------------------------------
 
     def add(self, kf: int, desc: np.ndarray, feat_valid: np.ndarray):
-        self.bow[kf] = np.asarray(
-            voc.transform(jnp.array(desc), jnp.array(feat_valid), self.vocab)
-        )
+        if self.present[kf]:
+            self.erase(kf)
+        ids, vals = self.query_bow(desc, feat_valid)
+        S = self.bow_ids.shape[1]
+        ids, vals = ids[:S], vals[:S]
+        n = len(ids)
+        self.bow_ids[kf, :n] = ids
+        self.bow_ids[kf, n:] = -1
+        self.bow_vals[kf, :n] = vals
+        self.bow_vals[kf, n:] = 0
+        self.bow_n[kf] = n
         self.present[kf] = True
+        for w, v in zip(ids.tolist(), vals.tolist()):
+            self._inv.setdefault(w, {})[kf] = v
 
     def erase(self, kf: int):
+        """KeyFrameDatabase::erase (:47): drop from the inverted file."""
+        if self.present[kf]:
+            for w in self.bow_ids[kf, : int(self.bow_n[kf])].tolist():
+                ent = self._inv.get(w)
+                if ent is not None:
+                    ent.pop(kf, None)
+                    if not ent:
+                        del self._inv[w]
         self.present[kf] = False
-        self.bow[kf] = 0
+        self.bow_n[kf] = 0
+        self.bow_ids[kf] = -1
+        self.bow_vals[kf] = 0
 
     def clear(self):
         self.present[:] = False
-        self.bow[:] = 0
+        self.bow_n[:] = 0
+        self.bow_ids[:] = -1
+        self.bow_vals[:] = 0
+        self._inv.clear()
 
-    def query_bow(self, desc: np.ndarray, feat_valid: np.ndarray) -> np.ndarray:
-        return np.asarray(
-            voc.transform(jnp.array(desc), jnp.array(feat_valid), self.vocab)
-        )
+    # -- scoring ----------------------------------------------------------
 
-    def scores(self, query_bow: np.ndarray) -> np.ndarray:
-        s = np.array(voc.score_l1(jnp.array(query_bow), jnp.array(self.bow)))
+    def shared_and_scores(self, qbow):
+        """Inverted-file pass: (#shared words, L1 score) vs every keyframe."""
+        q_ids, q_vals = qbow
+        shared = np.zeros(self.max_kf, np.int32)
+        score = np.zeros(self.max_kf, np.float32)
+        for w, v in zip(q_ids.tolist(), q_vals.tolist()):
+            ent = self._inv.get(w)
+            if not ent:
+                continue
+            for kf, wv in ent.items():
+                shared[kf] += 1
+                score[kf] += v if v < wv else wv  # min(v, wv)
+        return shared, score
+
+    def scores(self, qbow) -> np.ndarray:
+        _, s = self.shared_and_scores(qbow)
         s[~self.present] = -1.0
         return s
 
-    def detect_loop_candidates(
-        self,
-        query_kf: int,
-        query_bow: np.ndarray,
-        covis_weights: np.ndarray,   # (MAX_KF,) covisibility row of query
-        min_covis_weight: int = 15,
-        top_group: int = 10,
-    ) -> list[int]:
-        scores = self.scores(query_bow)
-        connected = covis_weights >= min_covis_weight
-        connected[query_kf] = True
-
-        # minScore: lowest similarity to a covisible KF (LoopClosing.cc:136-150)
-        covis_scores = scores[connected & self.present]
-        min_score = covis_scores.min() if len(covis_scores) else 0.0
-
-        cand = np.nonzero(self.present & ~connected & (scores >= min_score))[0]
-        if len(cand) == 0:
-            return []
-
-        # group score: candidate + its top-N covisible neighbors that are
-        # also candidates (KeyFrameDatabase.cc:146-180)
-        cand_set = set(cand.tolist())
-        acc = {}
-        best_of_group = {}
-        for c in cand:
-            group = [c]
-            # neighbors by covisibility of c: caller passes only the query
-            # row, so neighbor lookup is delegated via self._covis hook
-            if self._covis_matrix is not None:
-                row = self._covis_matrix[c].copy()
-                row[c] = 0
-                order = np.argsort(-row)[:top_group]
-                group += [int(g) for g in order if row[g] >= min_covis_weight and int(g) in cand_set]
-            sc = float(scores[group].sum())
-            top = int(group[int(np.argmax(scores[group]))])
-            acc[c] = sc
-            best_of_group[c] = top
-        best_acc = max(acc.values())
-        keep = {best_of_group[c] for c, s in acc.items() if s > 0.75 * best_acc}
-        return sorted(keep)
+    # -- retrieval ---------------------------------------------------------
 
     _covis_matrix: np.ndarray | None = None
 
     def set_covisibility(self, covis: np.ndarray):
-        """Provide the full covisibility matrix for group accumulation."""
+        """Provide the covisibility matrix for group accumulation."""
         self._covis_matrix = covis
 
-    def detect_reloc_candidates(self, query_bow: np.ndarray, top_group: int = 10,
-                                min_covis_weight: int = 15) -> list[int]:
-        scores = self.scores(query_bow)
-        cand = np.nonzero(self.present & (scores > 0))[0]
-        if len(cand) == 0:
-            return []
+    def _group_select(self, cand: np.ndarray, scores: np.ndarray,
+                      top_group: int, min_covis_weight: int) -> list[int]:
+        """Covisibility-group score accumulation + 0.75 * best gate
+        (KeyFrameDatabase.cc:146-196 / :262-306)."""
         cand_set = set(cand.tolist())
         acc, best_of_group = {}, {}
         for c in cand:
@@ -115,9 +140,54 @@ class KeyFrameDatabase:
                 row = self._covis_matrix[c].copy()
                 row[c] = 0
                 order = np.argsort(-row)[:top_group]
-                group += [int(g) for g in order if row[g] >= min_covis_weight and int(g) in cand_set]
+                group += [int(g) for g in order
+                          if row[g] >= min_covis_weight and int(g) in cand_set]
             acc[c] = float(scores[group].sum())
             best_of_group[c] = int(group[int(np.argmax(scores[group]))])
         best_acc = max(acc.values())
         keep = {best_of_group[c] for c, s in acc.items() if s > 0.75 * best_acc}
         return sorted(keep)
+
+    def detect_loop_candidates(
+        self,
+        query_kf: int,
+        qbow,
+        covis_weights: np.ndarray,   # (MAX_KF,) covisibility row of query
+        min_covis_weight: int = 15,
+        top_group: int = 10,
+    ) -> list[int]:
+        shared, scores = self.shared_and_scores(qbow)
+        connected = covis_weights >= min_covis_weight
+        connected[query_kf] = True
+
+        shared_ext = shared.copy()
+        shared_ext[~self.present | connected] = 0
+        if shared_ext.max() == 0:
+            return []
+        # shared-word prefilter: > 0.8 * maxCommonWords (:119)
+        min_common = 0.8 * shared_ext.max()
+
+        # minScore: lowest similarity to a covisible KF (LoopClosing.cc:136-150)
+        covis_scores = scores[connected & self.present]
+        min_score = covis_scores.min() if len(covis_scores) else 0.0
+
+        cand = np.nonzero(
+            self.present & ~connected & (shared > min_common)
+            & (scores >= min_score)
+        )[0]
+        if len(cand) == 0:
+            return []
+        return self._group_select(cand, scores, top_group, min_covis_weight)
+
+    def detect_reloc_candidates(self, qbow, top_group: int = 10,
+                                min_covis_weight: int = 15) -> list[int]:
+        shared, scores = self.shared_and_scores(qbow)
+        shared_ext = shared.copy()
+        shared_ext[~self.present] = 0
+        if shared_ext.max() == 0:
+            return []
+        min_common = 0.8 * shared_ext.max()  # (:234)
+        cand = np.nonzero(self.present & (shared > min_common) & (scores > 0))[0]
+        if len(cand) == 0:
+            return []
+        return self._group_select(cand, scores, top_group, min_covis_weight)

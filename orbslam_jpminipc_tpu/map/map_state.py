@@ -67,6 +67,11 @@ class MapState:
 
     next_kf_id: int = 0       # monotously increasing creation counter
     next_mp_id: int = 0
+    # cached covisibility matrix; None = stale. Every observation-topology
+    # mutation (add/remove/replace observation, KF insert/erase) invalidates
+    # it, so tracking frames between keyframes reuse one matrix instead of
+    # paying a device round-trip per frame.
+    _covis_cache: np.ndarray | None = None
 
     @staticmethod
     def create(max_kf: int = 256, max_mp: int = 16384, n_feat: int = 1024, max_obs: int = 32) -> "MapState":
@@ -145,6 +150,7 @@ class MapState:
         self.kf_parent[k] = -1
         self.kf_loop_edges[k] = set()
         self.next_kf_id += 1
+        self._covis_cache = None
         return k
 
     def erase_keyframe(self, k: int):
@@ -159,6 +165,7 @@ class MapState:
         self.kf_valid[k] = False
         self.kf_point[k] = -1
         self.kf_feat_valid[k] = False
+        self._covis_cache = None
         self._reparent_children(k)
 
     def _covis_weight(self, a: int, b: int) -> int:
@@ -226,6 +233,7 @@ class MapState:
         self.mp_obs_kf[mp, empty[0]] = kf
         self.mp_obs_feat[mp, empty[0]] = feat
         self.kf_point[kf, feat] = mp
+        self._covis_cache = None
         return True
 
     def remove_observation(self, mp: int, kf: int):
@@ -236,6 +244,7 @@ class MapState:
                 self.kf_point[kf, feat] = -1
             self.mp_obs_kf[mp, s] = -1
             self.mp_obs_feat[mp, s] = -1
+        self._covis_cache = None
         # a monocular point needs >= 2 observations to stay alive
         if self.n_observations(mp) < 2:
             self.erase_point(mp)
@@ -254,6 +263,7 @@ class MapState:
         self.mp_obs_feat[mp] = -1
         self.mp_valid[mp] = False
         self.mp_gen[mp] += 1
+        self._covis_cache = None
 
     def replace_point(self, mp: int, other: int):
         """MapPoint::Replace (MapPoint.cc:124-158): merge mp into other."""
@@ -277,6 +287,7 @@ class MapState:
         self.mp_obs_kf[mp] = -1
         self.mp_obs_feat[mp] = -1
         self.mp_valid[mp] = False
+        self._covis_cache = None
 
     # ------------------------------------------------------------------
     # derived structures
@@ -292,10 +303,27 @@ class MapState:
         return M
 
     def covisibility(self) -> np.ndarray:
-        """(MAX_KF, MAX_KF) int32 shared-point counts — the covisibility
-        graph as one matmul (device; int8 MXU path on TPU)."""
-        M = self.membership_matrix()
-        return np.asarray(_covis_matmul(jnp.array(M)))
+        """(MAX_KF, MAX_KF) int32 shared-point counts.
+
+        Cached until the observation topology changes: tracking queries this
+        every frame, but it only changes per keyframe event. Computed as one
+        host BLAS matmul over the valid-KF membership submatrix — graph
+        bookkeeping is latency-bound, and shipping a (MAX_KF, MAX_MP)
+        operand through the device tunnel per rebuild costs more than the
+        2 GFLOP sgemm it feeds."""
+        if self._covis_cache is not None:
+            return self._covis_cache
+        C = np.zeros((self.max_kf, self.max_kf), np.int32)
+        valid = np.nonzero(self.kf_valid)[0]
+        if len(valid):
+            M = np.zeros((len(valid), self.max_mp), np.float32)
+            pts = self.kf_point[valid]
+            sel = pts >= 0
+            rows = np.broadcast_to(np.arange(len(valid))[:, None], pts.shape)
+            M[rows[sel], pts[sel]] = 1.0
+            C[np.ix_(valid, valid)] = (M @ M.T).astype(np.int32)
+        self._covis_cache = C
+        return C
 
     def update_spanning_tree(self, k: int, covis_row: np.ndarray):
         """Parent = strongest covisible existing KF (KeyFrame.cc:413-418)."""

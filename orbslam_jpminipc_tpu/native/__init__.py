@@ -94,6 +94,7 @@ def cull_redundant_keyframes_native(state, candidates, redundancy=0.9):
     out = np.empty(max(len(cands), 1), np.int32)
     kf_valid = state.kf_valid.view(np.uint8)
     mp_valid = state.mp_valid.view(np.uint8)
+    state._covis_cache = None  # C++ erases KFs/observations directly
     n = lib.cull_redundant_keyframes(
         _p32(cands), len(cands),
         _p32(state.kf_point), _p32(state.kf_level), _pu8(kf_valid),
@@ -136,6 +137,7 @@ def add_observations_native(state, kf, feats, points):
     f32 = np.ascontiguousarray(np.asarray(feats, np.int32))
     p32 = np.ascontiguousarray(np.asarray(points, np.int32))
     mp_valid = state.mp_valid.view(np.uint8)
+    state._covis_cache = None  # C++ writes kf_point/mp_obs directly
     return lib.add_observations(
         _p32(f32), _p32(p32), len(f32), int(kf),
         _p32(state.kf_point), _p32(state.mp_obs_kf), _p32(state.mp_obs_feat),

@@ -113,24 +113,28 @@ def sharded_bundle_adjust(
     """
     K = sprob.kf_R.shape[0]
 
-    def local_chi2(R, t, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid):
-        e, _ = residuals(R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, sprob.K4)
+    # NOTE: kf_fixed / K4 are threaded through shard_map inputs (replicated
+    # specs), NOT captured by closure — a closure-captured global array
+    # carries Auto-mesh sharding metadata that is invalid inside the Manual
+    # (shard_map) context once the mesh spans multiple processes.
+    def local_chi2(R, t, K4, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid):
+        e, _ = residuals(R[obs_kf], t[obs_kf], pts[obs_pt], obs_uv, K4)
         c = jnp.sum(e * e, axis=-1) * obs_w
         rho = jnp.where(c <= CHI2_MONO, c, 2.0 * jnp.sqrt(CHI2_MONO * c) - CHI2_MONO)
         return jnp.sum(jnp.where(obs_valid, rho, 0.0))
 
-    def step_fn(R, t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
-                lam, ni, chi):
+    def step_fn(R, t, kf_fixed, K4, pts, pv, obs_kf, obs_pt, obs_uv, obs_w,
+                obs_valid, lam, ni, chi):
         """One LM step; runs per-device on local shards inside shard_map."""
         Pl = pts.shape[0]
         Rk = R[obs_kf]
         tk = t[obs_kf]
         xw = pts[obs_pt]
-        e, _ = residuals(Rk, tk, xw, obs_uv, sprob.K4)
-        Jc, Jp, _ = jacobians(Rk, tk, xw, sprob.K4)
+        e, _ = residuals(Rk, tk, xw, obs_uv, K4)
+        Jc, Jp, _ = jacobians(Rk, tk, xw, K4)
         c = jnp.sum(e * e, axis=-1) * obs_w
         w = obs_w * huber_weight(c) * obs_valid
-        w_c = jnp.where(sprob.kf_fixed[obs_kf], 0.0, 1.0)
+        w_c = jnp.where(kf_fixed[obs_kf], 0.0, 1.0)
         Jc = Jc * w_c[:, None, None]
         Jc_w = Jc * w[:, None, None]
         Jp_w = Jp * w[:, None, None]
@@ -156,7 +160,7 @@ def sharded_bundle_adjust(
         diag = jnp.arange(K)
         eye6 = jnp.eye(6, dtype=e.dtype)
         S = S.at[diag, diag].add(Hcc + lam * eye6[None])
-        fixed = sprob.kf_fixed
+        fixed = kf_fixed
         S = jnp.where(fixed[:, None, None, None] | fixed[None, :, None, None], 0.0, S)
         S = S.at[diag, diag].add(jnp.where(fixed, 1.0, 0.0)[:, None, None] * eye6[None])
         rhs = jnp.where(fixed[:, None], 0.0, rhs)
@@ -175,7 +179,7 @@ def sharded_bundle_adjust(
         R_new, t_new = compose(dR, dt, R, t)
         pts_new = pts + delta_p
         # fuse {chi, predicted point-part} into one scalar psum
-        chi_local = local_chi2(R_new, t_new, pts_new, obs_kf, obs_pt, obs_uv, obs_w, obs_valid)
+        chi_local = local_chi2(R_new, t_new, K4, pts_new, obs_kf, obs_pt, obs_uv, obs_w, obs_valid)
         pred_p_local = 0.5 * jnp.sum(delta_p * (lam * delta_p - bp))
         chi_new, pred_p = jax.lax.psum(
             jnp.stack([chi_local, pred_p_local]), axis)
@@ -194,7 +198,8 @@ def sharded_bundle_adjust(
         ni = jnp.where(accept, 2.0, ni * 2.0)
         return R, t, pts, lam, ni, chi
 
-    def kernel(kf_R, kf_t, pts, pv, obs_kf, obs_pt, obs_uv, obs_w, obs_valid):
+    def kernel(kf_R, kf_t, kf_fixed, K4, pts, pv, obs_kf, obs_pt, obs_uv,
+               obs_w, obs_valid):
         # shard_map passes per-device blocks with the shard axis collapsed
         pts = pts[0]
         pv = pv[0]
@@ -205,15 +210,16 @@ def sharded_bundle_adjust(
         obs_valid = obs_valid[0]
 
         chi0 = jax.lax.psum(
-            local_chi2(kf_R, kf_t, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid), axis
+            local_chi2(kf_R, kf_t, K4, pts, obs_kf, obs_pt, obs_uv, obs_w,
+                       obs_valid), axis
         )
 
         # lambda init = tau * max(diag H) like the single-device path
         # (g2o optimization_algorithm_levenberg.cpp:47, tau = 1e-5); the
         # diagonal max is a pmax over shards
         Rk0, tk0, xw0 = kf_R[obs_kf], kf_t[obs_kf], pts[obs_pt]
-        e0, _ = residuals(Rk0, tk0, xw0, obs_uv, sprob.K4)
-        Jc0, Jp0, _ = jacobians(Rk0, tk0, xw0, sprob.K4)
+        e0, _ = residuals(Rk0, tk0, xw0, obs_uv, K4)
+        Jc0, Jp0, _ = jacobians(Rk0, tk0, xw0, K4)
         c0 = jnp.sum(e0 * e0, axis=-1) * obs_w
         w0 = obs_w * huber_weight(c0) * obs_valid
         diag_c = jnp.zeros((K, 6), e0.dtype).at[obs_kf].add(
@@ -226,8 +232,8 @@ def sharded_bundle_adjust(
 
         def body(_, state):
             R, t, p, lam, ni, chi = state
-            return step_fn(R, t, p, pv, obs_kf, obs_pt, obs_uv, obs_w,
-                           obs_valid, lam, ni, chi)
+            return step_fn(R, t, kf_fixed, K4, p, pv, obs_kf, obs_pt, obs_uv,
+                           obs_w, obs_valid, lam, ni, chi)
 
         R, t, p, _, _, chi = jax.lax.fori_loop(
             0, iterations, body, (kf_R, kf_t, pts, lam0, jnp.float32(2.0), chi0)
@@ -240,12 +246,14 @@ def sharded_bundle_adjust(
         jax.shard_map(
             kernel,
             mesh=mesh,
-            in_specs=(rep, rep, shard, shard, shard, shard, shard, shard, shard),
+            in_specs=(rep, rep, rep, rep,
+                      shard, shard, shard, shard, shard, shard, shard),
             out_specs=(rep, rep, shard, rep),
             check_vma=False,
         )
     )
     return f(
-        sprob.kf_R, sprob.kf_t, sprob.points, sprob.point_valid,
+        sprob.kf_R, sprob.kf_t, sprob.kf_fixed, sprob.K4,
+        sprob.points, sprob.point_valid,
         sprob.obs_kf, sprob.obs_pt, sprob.obs_uv, sprob.obs_w, sprob.obs_valid,
     )

@@ -14,20 +14,118 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..frontend.frame import Frame, predict_scale_level
-from ..geometry import se3, epipolar, triangulate
+from ..frontend.frame import Frame
+from ..geometry import epipolar, triangulate
 from ..map import culling
 from ..map.map_state import MapState
 from ..map.keyframe_db import KeyFrameDatabase
 from ..ops import matching
 from ..solvers import ba
 
-_tri_search = jax.jit(
-    matching.search_for_triangulation, static_argnames=("max_dist", "check_rotation")
-)
-_fuse = jax.jit(matching.fuse_search, static_argnames=("max_dist",))
-_triangulate = jax.jit(triangulate.triangulate_dlt)
-_F12 = jax.jit(epipolar.fundamental_from_poses)
+
+# fixed fuse-target capacity (first + second covisibility ring, strongest
+# first) — one compiled program for SearchInNeighbors
+FUSE_TARGETS = 32
+
+
+@jax.jit
+def _fuse_batch(q_desc, q_xyz, q_min, q_max, q_valid,
+                t_desc, t_xy, t_level, t_valid, Rs, ts,
+                K4, scale_factors):
+    """Batched ORBmatcher::Fuse search (ORBmatcher.cc:1016-1134): project
+    each row's query point set into its row's target keyframe and match.
+    Projection, depth-band gating and scale prediction all happen on device;
+    the host only consumes the (T, F) match table for the merge bookkeeping.
+    """
+    n_levels = scale_factors.shape[0]
+    log_sf = jnp.log(scale_factors[1])
+
+    def per_target(qd, qx, qmin, qmax, qv, td, txy, tl, tv, R, t):
+        xc = qx @ R.T + t
+        z = xc[:, 2]
+        uv = jnp.stack([
+            K4[0] * xc[:, 0] / jnp.maximum(z, 1e-9) + K4[2],
+            K4[1] * xc[:, 1] / jnp.maximum(z, 1e-9) + K4[3],
+        ], axis=1)
+        O = -R.T @ t
+        dist = jnp.linalg.norm(qx - O, axis=-1)
+        valid = qv & (z > 0)
+        valid &= (dist >= 0.8 * qmin) & (dist <= 1.2 * qmax)
+        ratio = jnp.maximum(qmax, 1e-9) / jnp.maximum(dist, 1e-9)
+        pred = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf)
+        pred = jnp.clip(pred, 0, n_levels - 1).astype(jnp.int32)
+        return matching.fuse_search(
+            qd, uv, pred, valid, td, txy, tl, tv, scale_factors
+        )
+
+    return jax.vmap(per_target)(
+        q_desc, q_xyz, q_min, q_max, q_valid,
+        t_desc, t_xy, t_level, t_valid, Rs, ts,
+    )
+
+# fixed neighbor capacity: all of CreateNewMapPoints is ONE compiled program
+TRI_NEIGHBORS = 20
+
+
+@jax.jit
+def _tri_batch(desc1, xy1, angle1, level1, has1, valid1, R1, t1,
+               descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2,
+               K4, sigma2, scale_factors):
+    """Triangulation against all covisible neighbors in one program.
+
+    Replaces the reference's per-neighbor loop (CreateNewMapPoints,
+    LocalMapping.cc:227-393: ComputeF12 + SearchForTriangulation + cv SVD
+    triangulation + 6 validity gates) with a vmap over a padded neighbor
+    axis — one dispatch and one host transfer per keyframe instead of ~20.
+
+    Returns (ok (B, F) bool, idx (B, F) int32, xw (B, F, 3)).
+    """
+    O1 = -R1.T @ t1
+    ratio_factor = 1.5 * scale_factors[1]
+
+    def per_neighbor(desc2, xy2, angle2, level2, h2, v2, R2, t2):
+        F12 = epipolar.fundamental_from_poses(R1, t1, R2, t2, K4)
+        O2 = -R2.T @ t2
+        # epipole of camera 1 in image 2 (LocalMapping.cc:262-266)
+        xc_e = R2 @ O1 + t2
+        ep = jnp.stack([
+            K4[0] * xc_e[0] / jnp.maximum(xc_e[2], 1e-9) + K4[2],
+            K4[1] * xc_e[1] / jnp.maximum(xc_e[2], 1e-9) + K4[3],
+        ])
+        m = matching.search_for_triangulation(
+            desc1, xy1, angle1, level1, has1, valid1,
+            desc2, xy2, angle2, level2, h2, v2,
+            F12, sigma2, ep, scale_factors,
+        )
+        uv1, uv2 = xy1, xy2[m.idx]
+        P1 = triangulate.projection_matrix(R1, t1, K4)
+        P2 = triangulate.projection_matrix(R2, t2, K4)
+        xw, ok_dlt = triangulate.triangulate_dlt(uv1, uv2, P1, P2)
+        ok = m.mask & ok_dlt
+        # validity gates (:299-374)
+        e1, pos1 = triangulate.reprojection_error2(xw, uv1, R1, t1, K4)
+        e2, pos2 = triangulate.reprojection_error2(xw, uv2, R2, t2, K4)
+        ok &= pos1 & pos2
+        ok &= triangulate.parallax_cos(xw, O1, O2) < 0.9998
+        n_levels = sigma2.shape[0]
+        s1 = sigma2[jnp.clip(level1, 0, n_levels - 1)]
+        s2 = sigma2[jnp.clip(level2[m.idx], 0, n_levels - 1)]
+        ok &= (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
+        # scale consistency (:356-372)
+        d1 = jnp.linalg.norm(xw - O1, axis=-1)
+        d2 = jnp.linalg.norm(xw - O2, axis=-1)
+        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+        sf1 = scale_factors[jnp.clip(level1, 0, n_levels - 1)]
+        sf2 = scale_factors[jnp.clip(level2[m.idx], 0, n_levels - 1)]
+        ratio_octave = sf1 / sf2
+        ok &= (ratio_dist < ratio_octave * ratio_factor) & (
+            ratio_dist * ratio_factor > ratio_octave
+        )
+        return ok, m.idx, xw
+
+    return jax.vmap(per_neighbor)(
+        descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2
+    )
 
 
 class LocalMapper:
@@ -99,7 +197,7 @@ class LocalMapper:
         xc = self.map.mp_xyz[pts] @ self.map.kf_R[kf].T + self.map.kf_t[kf]
         return float(np.median(xc[:, 2]))
 
-    def create_new_points(self, kf: int, max_neighbors: int = 20):
+    def create_new_points(self, kf: int, max_neighbors: int = TRI_NEIGHBORS):
         st, cfg = self.map, self.cfg
         covis = st.covisibility()
         row = covis[kf].copy()
@@ -110,85 +208,74 @@ class LocalMapper:
 
         R1, t1 = st.kf_R[kf], st.kf_t[kf]
         O1 = -R1.T @ t1
-        ratio_factor = 1.5 * cfg.scale_factor
 
+        # baseline / median-depth gate per neighbor (:256-260) — host math
+        active = []
         for kn in neighbors:
             kn = int(kn)
-            R2, t2 = st.kf_R[kn], st.kf_t[kn]
-            O2 = -R2.T @ t2
+            O2 = -st.kf_R[kn].T @ st.kf_t[kn]
             baseline = np.linalg.norm(O2 - O1)
-            med_depth = self._scene_median_depth(kn)
-            if baseline / max(med_depth, 1e-9) < 0.01:  # :256-260
-                continue
-            F12 = _F12(jnp.array(R1), jnp.array(t1), jnp.array(R2), jnp.array(t2),
-                       jnp.array(cfg.K4))
-            # epipole of camera 1 in image 2
-            xc = R2 @ O1 + t2
-            ex = cfg.fx * xc[0] / max(xc[2], 1e-9) + cfg.cx
-            ey = cfg.fy * xc[1] / max(xc[2], 1e-9) + cfg.cy
-            m = _tri_search(
-                jnp.array(st.kf_desc[kf]), jnp.array(st.kf_xy[kf]),
-                jnp.array(st.kf_angle[kf]), jnp.array(st.kf_level[kf]),
-                jnp.array(st.kf_point[kf] >= 0), jnp.array(st.kf_feat_valid[kf]),
-                jnp.array(st.kf_desc[kn]), jnp.array(st.kf_xy[kn]),
-                jnp.array(st.kf_angle[kn]), jnp.array(st.kf_level[kn]),
-                jnp.array(st.kf_point[kn] >= 0), jnp.array(st.kf_feat_valid[kn]),
-                F12, jnp.array(cfg.sigma2), jnp.array([ex, ey], jnp.float32),
-                jnp.array(cfg.scale_factors),
-            )
-            mask = np.asarray(m.mask)
-            if mask.sum() == 0:
-                continue
-            idx = np.asarray(m.idx)
-            uv1 = st.kf_xy[kf]
-            uv2 = st.kf_xy[kn][idx]
-            P1 = triangulate.projection_matrix(jnp.array(R1), jnp.array(t1), jnp.array(cfg.K4))
-            P2 = triangulate.projection_matrix(jnp.array(R2), jnp.array(t2), jnp.array(cfg.K4))
-            xw, ok = _triangulate(jnp.array(uv1), jnp.array(uv2), P1, P2)
-            xw = np.asarray(xw)
-            ok = np.asarray(ok) & mask
+            if baseline / max(self._scene_median_depth(kn), 1e-9) >= 0.01:
+                active.append(kn)
+        if not active:
+            return
 
-            # validity gates (:299-374)
-            xc1 = xw @ R1.T + t1
-            xc2 = xw @ R2.T + t2
-            ok &= (xc1[:, 2] > 0) & (xc2[:, 2] > 0)
-            par = np.asarray(triangulate.parallax_cos(jnp.array(xw), jnp.array(O1), jnp.array(O2)))
-            ok &= par < 0.9998
-            e1 = np.stack(
-                [cfg.fx * xc1[:, 0] / np.maximum(xc1[:, 2], 1e-9) + cfg.cx,
-                 cfg.fy * xc1[:, 1] / np.maximum(xc1[:, 2], 1e-9) + cfg.cy], 1) - uv1
-            e2 = np.stack(
-                [cfg.fx * xc2[:, 0] / np.maximum(xc2[:, 2], 1e-9) + cfg.cx,
-                 cfg.fy * xc2[:, 1] / np.maximum(xc2[:, 2], 1e-9) + cfg.cy], 1) - uv2
-            s1 = cfg.sigma2[np.clip(st.kf_level[kf], 0, cfg.n_levels - 1)]
-            s2 = cfg.sigma2[np.clip(st.kf_level[kn][idx], 0, cfg.n_levels - 1)]
-            ok &= (e1 ** 2).sum(1) < 5.991 * s1
-            ok &= (e2 ** 2).sum(1) < 5.991 * s2
-            # scale-consistency (:356-372)
-            d1 = np.linalg.norm(xw - O1, axis=1)
-            d2 = np.linalg.norm(xw - O2, axis=1)
-            ratio_dist = d2 / np.maximum(d1, 1e-9)
-            sf1 = cfg.scale_factors[np.clip(st.kf_level[kf], 0, cfg.n_levels - 1)]
-            sf2 = cfg.scale_factors[np.clip(st.kf_level[kn][idx], 0, cfg.n_levels - 1)]
-            ratio_octave = sf1 / sf2
-            ok &= (ratio_dist < ratio_octave * ratio_factor) & (
-                ratio_dist * ratio_factor > ratio_octave
-            )
-            feats1 = np.nonzero(ok)[0]
+        # pad the neighbor axis to the static capacity; pad rows carry
+        # valids2=False so they cannot produce matches
+        B = TRI_NEIGHBORS
+        nb = (active + [active[0]] * B)[:B]
+        sel = np.array(nb)
+        valids2 = np.zeros((B, st.n_feat), bool)
+        valids2[: len(active)] = st.kf_feat_valid[sel[: len(active)]]
+
+        ok, idx, xw = _tri_batch(
+            jnp.array(st.kf_desc[kf]), jnp.array(st.kf_xy[kf]),
+            jnp.array(st.kf_angle[kf]), jnp.array(st.kf_level[kf]),
+            jnp.array(st.kf_point[kf] >= 0), jnp.array(st.kf_feat_valid[kf]),
+            jnp.array(R1), jnp.array(t1),
+            jnp.array(st.kf_desc[sel]), jnp.array(st.kf_xy[sel]),
+            jnp.array(st.kf_angle[sel]), jnp.array(st.kf_level[sel]),
+            jnp.array(st.kf_point[sel] >= 0), jnp.array(valids2),
+            jnp.array(st.kf_R[sel]), jnp.array(st.kf_t[sel]),
+            jnp.array(cfg.K4), jnp.array(cfg.sigma2), jnp.array(cfg.scale_factors),
+        )
+        ok = np.asarray(ok)
+        idx = np.asarray(idx)
+        xw = np.asarray(xw)
+
+        # sequential claim: a feature triangulated against an earlier (more
+        # covisible) neighbor is excluded from later ones, mirroring the
+        # reference's in-loop has-point updates
+        claimed = st.kf_point[kf] >= 0
+        new_ids = []
+        from ..native import add_observations_native
+
+        for b, kn in enumerate(active):
+            feats1 = np.nonzero(ok[b] & ~claimed)[0]
             if len(feats1) == 0:
                 continue
             n_free = int((~st.mp_valid).sum())
             if n_free < len(feats1):
                 feats1 = feats1[:n_free]
+                if len(feats1) == 0:
+                    break
             ids = st.add_points(
-                xw[feats1], st.kf_desc[kf][feats1], ref_kf=kf,
+                xw[b][feats1], st.kf_desc[kf][feats1], ref_kf=kf,
                 first_kf_id=st.next_kf_id - 1,
             )
-            for mp_id, f1 in zip(ids, feats1):
-                st.add_observation(int(mp_id), kf, int(f1))
-                st.add_observation(int(mp_id), kn, int(idx[f1]))
-                self.probation.append((int(mp_id), int(st.mp_gen[mp_id])))
-            st.update_point_attributes(ids, cfg.scale_factors)
+            if add_observations_native(st, kf, feats1, ids) is None:
+                for mp_id, f1 in zip(ids, feats1):
+                    st.add_observation(int(mp_id), kf, int(f1))
+            if add_observations_native(st, kn, idx[b][feats1], ids) is None:
+                for mp_id, f1 in zip(ids, feats1):
+                    st.add_observation(int(mp_id), kn, int(idx[b][f1]))
+            self.probation.extend(
+                (int(i), int(st.mp_gen[i])) for i in ids
+            )
+            claimed[feats1] = True
+            new_ids.append(ids)
+        if new_ids:
+            st.update_point_attributes(np.concatenate(new_ids), cfg.scale_factors)
 
     # ------------------------------------------------------------------
     # duplicate fusion (SearchInNeighbors :395-472)
@@ -202,58 +289,77 @@ class LocalMapper:
         row[~st.kf_valid] = 0
         first_ring = np.argsort(-row)[:n_neighbors]
         first_ring = [int(k) for k in first_ring if row[k] >= 15]
-        targets = set(first_ring)
+        targets = list(first_ring)
+        seen = set(first_ring)
         for k1 in first_ring:  # second ring (:408-419)
             row2 = covis[k1].copy()
             row2[~st.kf_valid] = 0
             row2[k1] = 0
             for k2 in np.argsort(-row2)[:5]:
-                if row2[k2] >= 15 and int(k2) != kf:
-                    targets.add(int(k2))
+                k2 = int(k2)
+                if row2[k2] >= 15 and k2 != kf and k2 not in seen:
+                    targets.append(k2)
+                    seen.add(k2)
+        targets = targets[:FUSE_TARGETS]
+        if not targets:
+            return
+        T = FUSE_TARGETS
+        sel = np.array((targets + [targets[0]] * T)[:T])
+        n_act = len(targets)
 
-        # direction 1: current KF's points into neighbors
-        for kn in targets:
-            self._fuse_into(kf, kn)
-        # direction 2: neighbors' points into current KF
-        for kn in targets:
-            self._fuse_into(kn, kf)
+        def point_rows(kfs):
+            """Per-row query point data from each row's KF point slots."""
+            q = st.kf_point[kfs]                       # (T, F)
+            mpid = np.clip(q, 0, st.max_mp - 1)
+            valid = (q >= 0) & st.mp_valid[mpid]
+            return (q, st.mp_desc[mpid], st.mp_xyz[mpid],
+                    st.mp_min_dist[mpid], st.mp_max_dist[mpid], valid)
+
+        kf_row = np.full(T, kf)
+        # direction 1: current KF's points into each target
+        q1, d1, x1, mn1, mx1, v1 = point_rows(kf_row)
+        v1[n_act:] = False
+        m1_mask, m1_idx = self._run_fuse_batch(d1, x1, mn1, mx1, v1, sel)
+        for i in range(n_act):
+            self._merge_fuse(q1[i], int(sel[i]), m1_mask[i], m1_idx[i])
+        # direction 2: each target's points into the current KF — queries
+        # built AFTER direction 1's merges so replaced points query with
+        # their merged descriptor/position (the reference interleaves
+        # search and merge, SearchInNeighbors :421-470)
+        q2, d2, x2, mn2, mx2, v2 = point_rows(sel)
+        v2[n_act:] = False
+        m2_mask, m2_idx = self._run_fuse_batch(d2, x2, mn2, mx2, v2, kf_row)
+        for i in range(n_act):
+            self._merge_fuse(q2[i], kf, m2_mask[i], m2_idx[i])
         # refresh attributes of the current KF's points
         pts = st.kf_point[kf]
         st.update_point_attributes(np.unique(pts[pts >= 0]), cfg.scale_factors)
 
-    def _fuse_into(self, src_kf: int, dst_kf: int):
-        """Project src's points into dst; merge with matched keypoints
-        (ORBmatcher::Fuse, ORBmatcher.cc:1016-1134)."""
+    def _run_fuse_batch(self, q_desc, q_xyz, q_min, q_max, q_valid, dst_kfs):
         st, cfg = self.map, self.cfg
-        pts = st.kf_point[src_kf]
-        q = pts.copy()
-        valid_q = q >= 0
-        mpid = np.clip(q, 0, st.max_mp - 1)
-        valid_q &= st.mp_valid[mpid]
-        xw = st.mp_xyz[mpid]
-        R, t = st.kf_R[dst_kf], st.kf_t[dst_kf]
-        xc = xw @ R.T + t
-        z = xc[:, 2]
-        uv = np.stack(
-            [cfg.fx * xc[:, 0] / np.maximum(z, 1e-9) + cfg.cx,
-             cfg.fy * xc[:, 1] / np.maximum(z, 1e-9) + cfg.cy], 1).astype(np.float32)
-        valid_q &= z > 0
-        O = -R.T @ t
-        dist = np.linalg.norm(xw - O, axis=1)
-        valid_q &= (dist >= 0.8 * st.mp_min_dist[mpid]) & (dist <= 1.2 * st.mp_max_dist[mpid])
-        pred = predict_scale_level(dist, st.mp_max_dist[mpid], cfg.scale_factor, cfg.n_levels)
-        m = _fuse(
-            jnp.array(st.mp_desc[mpid]), jnp.array(uv), jnp.array(pred), jnp.array(valid_q),
-            jnp.array(st.kf_desc[dst_kf]), jnp.array(st.kf_xy[dst_kf]),
-            jnp.array(st.kf_level[dst_kf]), jnp.array(st.kf_feat_valid[dst_kf]),
-            jnp.array(cfg.scale_factors),
+        m = _fuse_batch(
+            jnp.array(q_desc), jnp.array(q_xyz), jnp.array(q_min),
+            jnp.array(q_max), jnp.array(q_valid),
+            jnp.array(st.kf_desc[dst_kfs]), jnp.array(st.kf_xy[dst_kfs]),
+            jnp.array(st.kf_level[dst_kfs]), jnp.array(st.kf_feat_valid[dst_kfs]),
+            jnp.array(st.kf_R[dst_kfs]), jnp.array(st.kf_t[dst_kfs]),
+            jnp.array(cfg.K4), jnp.array(cfg.scale_factors),
         )
-        mask = np.asarray(m.mask)
-        idx = np.asarray(m.idx)
+        return np.asarray(m.mask), np.asarray(m.idx)
+
+    def _merge_fuse(self, q_ids, dst_kf: int, mask, idx):
+        """Merge bookkeeping after a fuse search (ORBmatcher.cc:1083-1091).
+        The batched searches all saw the pre-fuse map snapshot, so stale
+        rows (point already replaced by an earlier merge) are re-checked."""
+        st = self.map
         for f_src in np.nonzero(mask)[0]:
-            mp = int(q[f_src])
+            mp = int(q_ids[f_src])
+            if mp < 0 or not st.mp_valid[mp]:
+                continue
             f_dst = int(idx[f_src])
             existing = int(st.kf_point[dst_kf, f_dst])
+            if existing == mp:
+                continue
             if existing >= 0 and st.mp_valid[existing]:
                 # merge: keep the point with more observations (:1083-1091)
                 if st.n_observations(existing) >= st.n_observations(mp):
@@ -279,6 +385,11 @@ class LocalMapper:
         pts = np.unique(st.kf_point[np.array(local)])
         pts = pts[pts >= 0]
         pts = pts[st.mp_valid[pts]]
+        if len(pts) > cfg.local_ba_points:
+            # keep the best-anchored points (most observations), not slot order
+            nobs = (st.mp_obs_kf[pts] >= 0).sum(axis=1)
+            pts = pts[np.argpartition(-nobs, cfg.local_ba_points - 1)[: cfg.local_ba_points]]
+            pts.sort()
         # fixed KFs: other observers of local points
         fixed = set()
         for p in pts:
@@ -292,8 +403,10 @@ class LocalMapper:
         all_kfs = local + sorted(fixed)
         kf_index = {k: i for i, k in enumerate(all_kfs)}
         K = cfg.local_ba_kf + cfg.local_ba_fixed
-        P = min(cfg.max_mp, 1 << int(np.ceil(np.log2(max(len(pts), 1) + 1))))
-        P = max(P, 256)
+        # ONE static point capacity: every local BA call hits the same
+        # compiled program (shape bucketing would recompile the LM loop for
+        # each map-size bucket — ~30 s apiece through the TPU compile path)
+        P = cfg.local_ba_points
 
         kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         kf_t = np.zeros((K, 3), np.float32)

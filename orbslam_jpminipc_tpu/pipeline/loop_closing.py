@@ -77,7 +77,7 @@ class LoopCloser:
             return []
         covis = st.covisibility()
         self.kfdb.set_covisibility(covis)
-        qbow = self.kfdb.bow[kf]
+        qbow = self.kfdb.bow_of(kf)
         candidates = self.kfdb.detect_loop_candidates(kf, qbow, covis[kf])
         if not candidates:
             self.consistent_groups = []
@@ -317,7 +317,8 @@ class LoopCloser:
         pts = loop_point_ids[st.mp_valid[loop_point_ids]]
         if len(pts) == 0:
             return
-        cap = 1 << int(np.ceil(np.log2(max(len(pts), 64))))
+        cap = 4096  # static: loop_point_ids is capped at 4096 upstream
+        pts = pts[:cap]
         pad = cap - len(pts)
         pts_pad = np.concatenate([pts, np.zeros(pad, np.int64)])
         base_valid = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
@@ -451,7 +452,12 @@ class LoopCloser:
                     add_edge(k, n, _compose_np(noncorr(n), Swi_pre))
 
         E = len(e_i)
-        cap = 1 << int(np.ceil(np.log2(max(E, 64))))
+        cap = cfg.eg_edges  # static edge capacity: one compiled program
+        if E > cap:
+            # keep loop connections + spanning tree first (edge order above)
+            e_i, e_j = e_i[:cap], e_j[:cap]
+            e_s, e_R, e_t = e_s[:cap], e_R[:cap], e_t[:cap]
+            E = cap
         pad = cap - E
         prob = essential_graph.EssentialGraphProblem(
             s=jnp.array(s_v), R=jnp.array(R_v), t=jnp.array(t_v),

@@ -155,7 +155,8 @@ class Slam:
 
     def _two_frame_global_ba(self, kf0: int, kf1: int, ids: np.ndarray, iters: int = 20):
         st, cfg = self.map, self.cfg
-        P = 1 << int(np.ceil(np.log2(max(len(ids), 2))))
+        # static shape: init produces <= 2*n_features matches; one program
+        P = 2048
         points = np.zeros((P, 3), np.float32)
         points[: len(ids)] = st.mp_xyz[ids]
         pvalid = np.zeros(P, bool)

@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from .utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from .config import SlamConfig
     from .io.dataset import SyntheticSequence, TumDataset
     from .io.trajectory import save_tum, ate_rmse
@@ -64,10 +68,20 @@ def main(argv=None):
     if args.vocab:
         vocab = load_vocabulary(args.vocab)
     else:
-        rng = np.random.default_rng(0)
-        vocab = build_vocabulary(
-            rng.integers(0, 256, (20000, 32)).astype(np.uint8), n_words=1024, iters=3
+        import os
+
+        default_voc = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "vocab_synthetic.npz"
         )
+        if os.path.exists(default_voc):
+            # pre-trained on real rBRIEF descriptors (vocab/train.py) — the
+            # analogue of the reference's shipped ORBvoc.txt (main.cc:101)
+            vocab = load_vocabulary(default_voc)
+        else:
+            rng = np.random.default_rng(0)
+            vocab = build_vocabulary(
+                rng.integers(0, 256, (20000, 32)).astype(np.uint8), n_words=1024, iters=3
+            )
 
     slam = Slam(cfg, vocab=vocab, enable_loop_closing=not args.no_loop_closing)
     if args.load_world:

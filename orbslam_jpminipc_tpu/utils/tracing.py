@@ -18,6 +18,7 @@ class StageTracer:
     def __init__(self, jsonl_path: str | None = None):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.samples = defaultdict(list)  # per-stage ms samples (p50/p95)
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
         self.enabled = True
 
@@ -33,6 +34,7 @@ class StageTracer:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            self.samples[name].append(dt * 1e3)
             if self._jsonl is not None:
                 self._jsonl.write(
                     json.dumps({"stage": name, "ms": round(dt * 1e3, 3), **fields}) + "\n"
@@ -44,14 +46,19 @@ class StageTracer:
             self._jsonl.flush()
 
     def summary(self) -> dict:
-        return {
-            name: {
+        import numpy as np
+
+        out = {}
+        for name in sorted(self.totals):
+            s = np.array(self.samples[name]) if self.samples[name] else np.zeros(1)
+            out[name] = {
                 "total_s": round(self.totals[name], 3),
                 "count": self.counts[name],
                 "mean_ms": round(1e3 * self.totals[name] / max(self.counts[name], 1), 3),
+                "p50_ms": round(float(np.percentile(s, 50)), 3),
+                "p95_ms": round(float(np.percentile(s, 95)), 3),
             }
-            for name in sorted(self.totals)
-        }
+        return out
 
     @contextlib.contextmanager
     def device_trace(self, logdir: str):

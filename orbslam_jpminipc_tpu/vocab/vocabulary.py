@@ -141,7 +141,8 @@ def build_vocabulary(
     rng = np.random.default_rng(seed)
     n = len(descriptors)
     n_words = min(n_words, n)
-    bits = np.asarray(unpack_bits(jnp.array(descriptors))).astype(np.uint8)
+    # host unpack: an eager device op here would cost more than the k-medians
+    bits = np.unpackbits(descriptors, axis=1, bitorder="little")
 
     # seeding: random distinct samples (k-means++ with Hamming would cost
     # O(N k) distance passes; random init + iterations converges similarly

@@ -238,5 +238,5 @@ def test_covisible_candidates_are_excluded(scene):
     kfdb.set_covisibility(covis)
     # a bridge KF's best matches are its neighbors — all covisible, so the
     # database must return no loop candidates for it
-    cands = kfdb.detect_loop_candidates(2, kfdb.bow[2], covis[2])
+    cands = kfdb.detect_loop_candidates(2, kfdb.bow_of(2), covis[2])
     assert 1 not in cands and 3 not in cands
