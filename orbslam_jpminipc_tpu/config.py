@@ -43,6 +43,14 @@ class SlamConfig:
     # Tracking behavior
     use_motion_model: bool = True
 
+    # Mapping overlap: when True, the per-keyframe mapping stages
+    # (triangulate / fuse / local BA / cull / loop detection) run one per
+    # subsequent frame instead of synchronously at KF insertion — the
+    # deterministic equivalent of the reference's mapper+loop threads
+    # overlapping the tracker (main.cc:165-218). A new KF cancels a
+    # not-yet-run queued local BA (InterruptBA, LocalMapping.cc:130-136).
+    async_mapping: bool = False
+
     # capacities (padded array sizes; power-of-two friendly)
     max_kf: int = 256
     max_mp: int = 16384

@@ -76,6 +76,7 @@ class Tracker:
         # callbacks wired by the System
         self.on_initialized = None   # fn(frame1, frame2, matches, init_result)
         self.on_new_keyframe = None  # fn(frame)
+        self.mapper_busy = None      # fn() -> bool (mbAcceptKeyFrames inverse)
 
     def _compute_bounds(self):
         """Undistorted image bounds (Frame.cc:321-349)."""
@@ -366,17 +367,28 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Reference-exact NeedNewKeyFrame (Tracking.cc:665-703):
+        - post-reloc blackout only once the map holds > MaxFrames keyframes
+          (:672-673 — an early map must keep growing after relocalization),
+        - KF iff (timeout OR mapper idle) AND tracking degraded
+          ((c1a||c1b) && c2 with mMinFrames = 0, :682-688)."""
         if self.ref_kf < 0:
             return False
-        if frame.frame_id < self.last_reloc_frame_id + self.cfg.max_frames:
-            return False
         n_kf = int(self.map.kf_valid.sum())
+        if (frame.frame_id < self.last_reloc_frame_id + self.cfg.max_frames
+                and n_kf > self.cfg.max_frames):
+            return False
         ref_matches = int((self.map.kf_point[self.ref_kf] >= 0).sum())
-        c1 = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
+        idle = self.mapper_busy is None or not self.mapper_busy()
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
+        c1b = idle  # mMinFrames = 0 (Tracking.cc:77)
         c2 = self.n_inliers < 0.9 * ref_matches and self.n_inliers > 15
-        if n_kf <= 2:
-            return c1 or c2
-        return (c1 or c2) and self.n_inliers >= 15
+        if not ((c1a or c1b) and c2):
+            return False
+        # mapper busy: the reference interrupts the running BA instead of
+        # inserting (InterruptBA, :692-698); our amortized queue drops the
+        # pending BA stage when the KF does get inserted, so just defer
+        return idle or c1a
 
     def _create_keyframe(self, frame: Frame):
         if self.on_new_keyframe is not None:

@@ -87,6 +87,11 @@ class SyntheticSequence:
         # gauge nearly unobservable and the whole reconstruction slides.
         fy = floor_y
         wz = wall_z
+        # the orbit trajectory sweeps a full 360°, so its world must be a
+        # CLOSED room (walls in every direction); the other trajectories
+        # keep the original open-front room so their renders (and recorded
+        # baselines) are unchanged
+        z_near = -1.5 if trajectory == "orbit" else 0.6
         # Geometry matches the TUM fr1 regime the baseline targets: scene
         # depth ~1-3 m. (A 6 m wall with ~0.1 m baselines gives ~0.3 m
         # triangulation noise per point — z^2/(f b) sigma_px — which no
@@ -96,13 +101,21 @@ class SyntheticSequence:
             # (corners [4x3, painter order far->near], texture)
             (np.array([[-hw, -1.5, wz], [hw, -1.5, wz], [hw, fy, wz], [-hw, fy, wz]], np.float32),
              _make_texture(rng)),
-            (np.array([[-hw, -1.5, wz], [-hw, fy, wz], [-hw, fy, 0.6], [-hw, -1.5, 0.6]], np.float32),
+            (np.array([[-hw, -1.5, wz], [-hw, fy, wz], [-hw, fy, z_near], [-hw, -1.5, z_near]], np.float32),
              _make_texture(np.random.default_rng(seed + 2))),
-            (np.array([[hw, -1.5, wz], [hw, fy, wz], [hw, fy, 0.6], [hw, -1.5, 0.6]], np.float32),
+            (np.array([[hw, -1.5, wz], [hw, fy, wz], [hw, fy, z_near], [hw, -1.5, z_near]], np.float32),
              _make_texture(np.random.default_rng(seed + 3))),
-            (np.array([[-hw, fy, wz], [hw, fy, wz], [hw, fy, 0.6], [-hw, fy, 0.6]], np.float32),
+            (np.array([[-hw, fy, wz], [hw, fy, wz], [hw, fy, z_near], [-hw, fy, z_near]], np.float32),
              _make_texture(np.random.default_rng(seed + 1))),
         ]
+        if trajectory == "orbit":
+            # front wall closing the room (faces +z; painter order safe —
+            # it never occludes the others from inside)
+            self.quads.append((
+                np.array([[hw, -1.5, z_near], [-hw, -1.5, z_near],
+                          [-hw, fy, z_near], [hw, fy, z_near]], np.float32),
+                _make_texture(np.random.default_rng(seed + 4)),
+            ))
         # "Furniture": fronto-parallel panels at spread depths. Without
         # close-range structure, the matched features' depth relief is too
         # shallow and a small rotation is absorbed by a compensating
@@ -156,6 +169,20 @@ class SyntheticSequence:
                      0.2 * np.sin(2 * np.pi * ph)],
                 )
                 rot = Rotation.from_euler("y", 1.05 * np.sin(2 * np.pi * ph))
+            elif kind == "orbit":
+                # full 360° sweep with REAL baseline (monocular triangulation
+                # needs translation): the camera rides a circle of radius r
+                # inside the closed room, always facing outward; the start
+                # view leaves the frustum entirely and returns at the end —
+                # the canonical loop-closure benchmark
+                theta = 2 * np.pi * ph
+                r = 0.7
+                t_wc = np.array(
+                    [r * np.sin(theta),
+                     0.02 * np.sin(4 * np.pi * ph),
+                     r * np.cos(theta)],
+                )
+                rot = Rotation.from_euler("y", theta)
             else:
                 raise ValueError(kind)
             R_wc = rot.as_matrix()

@@ -339,6 +339,13 @@ class MapState:
         UpdateNormalAndDepth :273-312), batched on device."""
         if len(ids) == 0:
             return
+        # pad to the next power of two: the batch size varies per call, and
+        # each distinct shape would compile a fresh _point_attrs program
+        # (seconds apiece through a remote-compile TPU path). Pad rows
+        # duplicate ids[0]; their outputs are discarded by the writeback.
+        n_real = len(ids)
+        cap = 1 << max(7, int(np.ceil(np.log2(n_real))))
+        ids = np.concatenate([ids, np.full(cap - n_real, ids[0], ids.dtype)])
         obs_kf = self.mp_obs_kf[ids]
         obs_feat = np.clip(self.mp_obs_feat[ids], 0, self.n_feat - 1)
         valid = obs_kf >= 0
@@ -353,10 +360,11 @@ class MapState:
             jnp.array(centers), jnp.array(levels), jnp.array(ref_slot),
             jnp.array(scale_factors),
         )
-        self.mp_desc[ids] = np.asarray(desc)
-        self.mp_normal[ids] = np.asarray(normal)
-        self.mp_min_dist[ids] = np.asarray(dmin)
-        self.mp_max_dist[ids] = np.asarray(dmax)
+        ids = ids[:n_real]
+        self.mp_desc[ids] = np.asarray(desc)[:n_real]
+        self.mp_normal[ids] = np.asarray(normal)[:n_real]
+        self.mp_min_dist[ids] = np.asarray(dmin)[:n_real]
+        self.mp_max_dist[ids] = np.asarray(dmax)[:n_real]
 
 
 @jax.jit

@@ -164,13 +164,33 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
+    # the per-keyframe mapping pipeline, stage by stage. The System either
+    # runs all stages synchronously (deterministic default) or spreads them
+    # across subsequent frames (cfg.async_mapping) — the TPU-native
+    # equivalent of the reference's mapper thread lagging the tracker
+    # (LocalMapping::Run polls its queue at 5 Hz, LocalMapping.cc:52-127)
+    STAGES = ("cull_points", "triangulate", "fuse", "ba", "cull_kf")
+
+    def run_stage(self, kf: int, stage: str):
+        if stage == "cull_points":
+            self.probation = culling.cull_recent_points(
+                self.map, self.probation, self.map.next_kf_id - 1
+            )
+        elif stage == "triangulate":
+            self.create_new_points(kf)
+        elif stage == "fuse":
+            self.fuse_neighbors(kf)
+        elif stage == "ba":
+            self.local_ba(kf)
+        elif stage == "cull_kf":
+            self.cull_keyframes(kf)
+        else:  # pragma: no cover
+            raise ValueError(stage)
+
     def process(self, frame: Frame) -> int:
         kf = self.insert_keyframe(frame)
-        self.probation = culling.cull_recent_points(self.map, self.probation, kf_age_id := self.map.next_kf_id - 1)
-        self.create_new_points(kf)
-        self.fuse_neighbors(kf)
-        self.local_ba(kf)
-        self.cull_keyframes(kf)
+        for stage in self.STAGES:
+            self.run_stage(kf, stage)
         return kf
 
     def cull_keyframes(self, kf: int) -> list[int]:
@@ -390,16 +410,19 @@ class LocalMapper:
             nobs = (st.mp_obs_kf[pts] >= 0).sum(axis=1)
             pts = pts[np.argpartition(-nobs, cfg.local_ba_points - 1)[: cfg.local_ba_points]]
             pts.sort()
-        # fixed KFs: other observers of local points
-        fixed = set()
-        for p in pts:
-            for k in st.mp_obs_kf[p]:
-                if k >= 0 and int(k) not in local_set:
-                    fixed.add(int(k))
-                    if len(fixed) >= cfg.local_ba_fixed:
-                        break
-            if len(fixed) >= cfg.local_ba_fixed:
-                break
+        # fixed KFs: other observers of local points (Optimizer.cc:328-345
+        # includes ALL of them; at our fixed capacity keep the KFs anchoring
+        # the MOST local observations, not the first ones encountered)
+        obs_flat = st.mp_obs_kf[pts].ravel()
+        obs_flat = obs_flat[obs_flat >= 0]
+        counts = np.bincount(obs_flat, minlength=st.max_kf)
+        for k in local:
+            counts[k] = 0
+        cand = np.nonzero(counts)[0]
+        if len(cand) > cfg.local_ba_fixed:
+            cand = cand[np.argpartition(-counts[cand], cfg.local_ba_fixed - 1)[
+                : cfg.local_ba_fixed]]
+        fixed = set(int(k) for k in cand)
         all_kfs = local + sorted(fixed)
         kf_index = {k: i for i, k in enumerate(all_kfs)}
         K = cfg.local_ba_kf + cfg.local_ba_fixed

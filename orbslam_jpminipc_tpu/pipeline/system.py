@@ -41,10 +41,16 @@ class Slam:
         )
         self.tracker.on_initialized = self._create_initial_map
         self.tracker.on_new_keyframe = self._on_new_keyframe
+        if cfg.async_mapping:
+            self.tracker.mapper_busy = lambda: bool(self.pending)
         self.frame_count = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_loops_closed = 0
         self.tracer = get_tracer()
+        # amortized mapping queue: (kf, [remaining stages]) — one stage per
+        # frame when cfg.async_mapping, replacing the reference's mapper
+        # thread overlap (main.cc:182, LocalMapping.cc:52-127)
+        self.pending: list[tuple[int, list[str]]] = []
 
     # ------------------------------------------------------------------
 
@@ -65,6 +71,15 @@ class Slam:
             state = self.tracker.process_frame(frame)
         if frame.R is not None:
             self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
+        # amortized mapping: run pending stages after the pose is out (the
+        # tracker never waits for the mapper); drain two per frame when the
+        # queue backs up behind a burst of keyframes
+        if self.pending:
+            backlog = sum(len(s) for _, s in self.pending)
+            with self.tracer.stage("mapping"):
+                for _ in range(2 if backlog > 6 else 1):
+                    if self.pending:
+                        self._run_pending_stage()
         # auto-reset shortly after a failed start (Tracking.cc:287-294)
         if state == TrackState.LOST and int(self.map.kf_valid.sum()) <= 5 and int(self.map.kf_valid.sum()) > 0:
             if frame.frame_id < 50:
@@ -85,6 +100,7 @@ class Slam:
         self.tracker.ref_kf = -1
         self.mapper.map = self.map
         self.mapper.probation = []
+        self.pending = []
         if self.loop_closer is not None:
             self.loop_closer.map = self.map
             self.loop_closer.consistent_groups = []
@@ -195,19 +211,48 @@ class Slam:
     # ------------------------------------------------------------------
 
     def _on_new_keyframe(self, frame: Frame):
+        if self.cfg.async_mapping:
+            # insert synchronously (the tracker needs the reference KF and
+            # its observations), then queue the heavy stages one-per-frame.
+            # A newly arriving KF cancels a queued-but-unstarted local BA —
+            # the reference's InterruptBA semantics (LocalMapping.cc:130-136)
+            with self.tracer.stage("mapping"):
+                kf = self.mapper.insert_keyframe(frame)
+            self.tracker.ref_kf = kf
+            for _, stages in self.pending:
+                if "ba" in stages:
+                    stages.remove("ba")
+            self.pending.append((kf, list(self.mapper.STAGES) + ["loop"]))
+            return
         with self.tracer.stage("mapping"):
             kf = self.mapper.process(frame)
         self.tracker.ref_kf = kf
-        if self.loop_closer is not None:
-            with self.tracer.stage("loop_closing"):
-                closed = self.loop_closer.process(kf)
-            if closed:
-                self.n_loops_closed += 1
-                self.tracer.log("loop_closed", kf=int(kf))
-                self.tracker.force_relocalization()
-                if self.cfg.post_loop_gba:
-                    with self.tracer.stage("global_ba"):
-                        self.global_ba()
+        self._loop_close(kf)
+
+    def _run_pending_stage(self):
+        kf, stages = self.pending[0]
+        stage = stages.pop(0)
+        if not stages:
+            self.pending.pop(0)
+        if not self.map.kf_valid[kf]:
+            return  # culled while queued
+        if stage == "loop":
+            self._loop_close(kf)
+        else:
+            self.mapper.run_stage(kf, stage)
+
+    def _loop_close(self, kf: int):
+        if self.loop_closer is None:
+            return
+        with self.tracer.stage("loop_closing"):
+            closed = self.loop_closer.process(kf)
+        if closed:
+            self.n_loops_closed += 1
+            self.tracer.log("loop_closed", kf=int(kf))
+            self.tracker.force_relocalization()
+            if self.cfg.post_loop_gba:
+                with self.tracer.stage("global_ba"):
+                    self.global_ba()
 
     # ------------------------------------------------------------------
     # global bundle adjustment over the whole map (Optimizer.cc:38-152)

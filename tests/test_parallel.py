@@ -37,3 +37,32 @@ def test_sharded_matches_single_device(rng, n_shards):
     np.testing.assert_allclose(
         s_align * np.asarray(t), np.asarray(ref.kf_t), atol=2e-2
     )
+
+
+def test_sharded_ba_on_live_pipeline_problem():
+    """Shard a local-BA problem produced by the LIVE pipeline (not a
+    hand-built fixture): run the synthetic sequence, grab the mapper's own
+    problem for the newest keyframe, and check the 8-way sharded solver
+    reproduces the single-device optimum on it."""
+    from orbslam_jpminipc_tpu.io.dataset import SyntheticSequence
+    from orbslam_jpminipc_tpu.pipeline.system import Slam
+    from tests.test_pipeline import make_cfg
+
+    seq = SyntheticSequence(n_frames=45, trajectory="xyz", seed=3)
+    slam = Slam(make_cfg(), vocab=None)
+    for i in range(30):
+        img, ts, _ = seq.get(i)
+        slam.process(img, ts)
+    assert slam.n_keyframes >= 3 and slam.n_points > 200
+
+    st = slam.map
+    kf = int(np.nonzero(st.kf_valid)[0][np.argmax(st.kf_frame_id[st.kf_valid])])
+    prob, all_kfs, pts, obs_src = slam.mapper.build_local_ba_problem(kf)
+    assert len(obs_src) > 500  # a real, well-populated problem
+
+    ref = ba.bundle_adjust(prob, iterations=8)
+    sprob = shard_ba_problem(prob, 8)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("points",))
+    R, t, pts_sh, chi2 = sharded_bundle_adjust(sprob, mesh, iterations=8)
+    assert abs(float(chi2) - float(ref.chi2)) < 0.02 * float(ref.chi2) + 0.5
+    np.testing.assert_allclose(np.asarray(R), np.asarray(ref.kf_R), atol=2e-2)

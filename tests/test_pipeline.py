@@ -62,6 +62,24 @@ class TestEndToEnd:
         assert len(lines) == len(slam.trajectory)
         assert len(lines[0].split()) == 8
 
+    def test_async_mapping_tracks_and_maps(self, vocab):
+        """cfg.async_mapping spreads the per-KF mapping stages across
+        subsequent frames (the reference's mapper-thread overlap,
+        main.cc:165-218); the system must still build a comparable map."""
+        # slower-motion regime (the trajectory is phase-parameterized):
+        # with the mbAcceptKeyFrames backpressure a keyframe arrives every
+        # few frames, which the one-stage-per-frame amortization sustains
+        seq = SyntheticSequence(n_frames=100, trajectory="xyz", seed=3)
+        slam = Slam(make_cfg(async_mapping=True), vocab=vocab,
+                    enable_loop_closing=False)
+        states, est, ate = run_sequence(slam, seq, n=70)
+        assert states.count("WORKING") > 45, states
+        assert slam.n_keyframes >= 3
+        assert slam.n_points > 200
+        assert ate < 0.35, ate
+        # backpressure (mbAcceptKeyFrames parity) keeps the queue bounded
+        assert sum(len(s) for _, s in slam.pending) <= 12
+
     def test_no_vocab_runs(self):
         # note: the synthetic trajectory is phase-parameterized, so fewer
         # frames = faster motion; use the standard length, shorter prefix
