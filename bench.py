@@ -206,19 +206,30 @@ def bench_e2e():
         os.path.dirname(os.path.abspath(__file__)),
         "orbslam_jpminipc_tpu", "data", "vocab_synthetic.npz"))
 
+    import jax
+
     n_frames = 120
     seq = SyntheticSequence(n_frames=n_frames, trajectory="xyz", seed=0)
     frames = [seq.get(i) for i in range(n_frames)]
 
+    def run(slam, subset):
+        """Stream with one-frame upload prefetch: a live 30 fps camera
+        delivers frame i+1 while frame i is processed, so its (async)
+        host->device transfer legitimately overlaps frame i's compute."""
+        nxt = jax.device_put(subset[0][0])
+        for i, (img, ts, _) in enumerate(subset):
+            cur = nxt
+            if i + 1 < len(subset):
+                nxt = jax.device_put(subset[i + 1][0])
+            slam.process(cur, ts)
+
     # warmup: compile everything the steady-state path touches
     warm = Slam(cfg, vocab=voc)
-    for img, ts, _ in frames[:40]:
-        warm.process(img, ts)
+    run(warm, frames[:40])
 
     slam = Slam(cfg, vocab=voc)
     t0 = time.perf_counter()
-    for img, ts, _ in frames:
-        slam.process(img, ts)
+    run(slam, frames)
     wall = time.perf_counter() - t0
     fps = n_frames / wall
 

@@ -43,13 +43,23 @@ class SlamConfig:
     # Tracking behavior
     use_motion_model: bool = True
 
+    # Fused device-resident WORKING path (frontend/fused_track.py): the
+    # whole per-frame steady-state step is ONE XLA program over a
+    # device-resident local-map slice — one image upload + one small pull
+    # per frame. The host path remains for init/reloc/fallback.
+    fused_tracking: bool = True
+
     # Mapping overlap: when True, the per-keyframe mapping stages
     # (triangulate / fuse / local BA / cull / loop detection) run one per
     # subsequent frame instead of synchronously at KF insertion — the
     # deterministic equivalent of the reference's mapper+loop threads
     # overlapping the tracker (main.cc:165-218). A new KF cancels a
     # not-yet-run queued local BA (InterruptBA, LocalMapping.cc:130-136).
-    async_mapping: bool = False
+    # Default ON: besides hiding the mapping spike, the busy mapper throttles
+    # keyframe insertion exactly like the reference's AcceptKeyFrames gate
+    # (Tracking.cc:684) — without it every frame passes c1b and the map
+    # floods with tiny-baseline keyframes.
+    async_mapping: bool = True
 
     # capacities (padded array sizes; power-of-two friendly)
     max_kf: int = 256

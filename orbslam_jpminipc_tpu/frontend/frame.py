@@ -1,14 +1,18 @@
-"""Frame: per-image feature container.
+"""Frame: per-image feature container with lazy device->host materialization.
 
 Replaces src/Frame.cc (351 LoC): the constructor-extracts + undistorts +
 grid-bins design becomes one jitted extraction program plus a padded
-NamedTuple. The reference's 64x48 keypoint grid (Frame.h:35-36) exists only
+container. The reference's 64x48 keypoint grid (Frame.h:35-36) exists only
 to accelerate CPU area queries — the TPU matchers mask the dense distance
 matrix instead, so no grid is kept.
+
+TPU-native twist: in the steady-state fused tracking path the feature
+arrays live on DEVICE (outputs of the fused per-frame program) and are
+pulled to host lazily, only when something actually needs them on host —
+keyframe insertion, relocalization, or a slow-path fallback. Ordinary
+tracked frames never pay the device->host transfer for their features.
 """
 from __future__ import annotations
-
-import dataclasses
 
 import numpy as np
 import jax
@@ -18,33 +22,80 @@ from ..config import SlamConfig
 from ..geometry import camera as cam
 from ..ops import extractor
 
+_FEAT_FIELDS = ("xy", "xy_un", "level", "angle", "response", "desc", "valid")
 
-@dataclasses.dataclass
+
 class Frame:
-    frame_id: int
-    timestamp: float
-    xy: np.ndarray        # (N, 2) raw keypoint positions (level-0 scale)
-    xy_un: np.ndarray     # (N, 2) undistorted positions
-    level: np.ndarray     # (N,) int32
-    angle: np.ndarray     # (N,) float32
-    response: np.ndarray  # (N,)
-    desc: np.ndarray      # (N, 32) uint8
-    valid: np.ndarray     # (N,) bool
-    # pose (world->cam), set by tracking
-    R: np.ndarray | None = None
-    t: np.ndarray | None = None
-    # map point association per feature (-1 = none), set by tracking
-    point: np.ndarray | None = None
-    point_gen: np.ndarray | None = None  # map-slot generation at association
-    outlier: np.ndarray | None = None
+    """Padded per-frame features + tracking bookkeeping.
 
-    def __post_init__(self):
-        if self.point is None:
-            self.point = np.full(len(self.valid), -1, np.int32)
-        if self.point_gen is None:
-            self.point_gen = np.zeros(len(self.valid), np.int32)
-        if self.outlier is None:
-            self.outlier = np.zeros(len(self.valid), bool)
+    Feature arrays (xy, xy_un, level, angle, response, desc, valid) are
+    host numpy arrays, materialized lazily from device arrays when the
+    frame was produced by the fused device path.
+    """
+
+    def __init__(self, frame_id: int, timestamp: float, n_feat: int,
+                 host: dict | None = None, dev: dict | None = None):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.n_feat = n_feat
+        self._host = dict(host) if host else {}
+        self._dev = dev
+        # pose (world->cam), set by tracking
+        self.R: np.ndarray | None = None
+        self.t: np.ndarray | None = None
+        # map point association per feature (-1 = none), set by tracking
+        self.point = np.full(n_feat, -1, np.int32)
+        self.point_gen = np.zeros(n_feat, np.int32)
+        self.outlier = np.zeros(n_feat, bool)
+
+    # --- lazy feature materialization -------------------------------------
+
+    def materialize(self):
+        """Pull all device-resident feature arrays to host (one batched
+        device_get). No-op when already host-resident."""
+        if self._dev is not None:
+            missing = [f for f in _FEAT_FIELDS if f not in self._host]
+            if missing:
+                pulled = jax.device_get([self._dev[f] for f in missing])
+                for f, v in zip(missing, pulled):
+                    self._host[f] = np.asarray(v)
+            self._dev = None
+        return self
+
+    def _get(self, name: str) -> np.ndarray:
+        if name not in self._host:
+            if self._dev is None:
+                raise AttributeError(name)
+            self.materialize()
+        return self._host[name]
+
+    @property
+    def xy(self) -> np.ndarray:        # (N, 2) raw keypoints (level-0 scale)
+        return self._get("xy")
+
+    @property
+    def xy_un(self) -> np.ndarray:     # (N, 2) undistorted positions
+        return self._get("xy_un")
+
+    @property
+    def level(self) -> np.ndarray:     # (N,) int32
+        return self._get("level")
+
+    @property
+    def angle(self) -> np.ndarray:     # (N,) float32
+        return self._get("angle")
+
+    @property
+    def response(self) -> np.ndarray:  # (N,)
+        return self._get("response")
+
+    @property
+    def desc(self) -> np.ndarray:      # (N, 32) uint8
+        return self._get("desc")
+
+    @property
+    def valid(self) -> np.ndarray:     # (N,) bool
+        return self._get("valid")
 
     @property
     def n_valid(self) -> int:
@@ -61,8 +112,10 @@ def build_frame(
     n_features: int | None = None,
 ) -> Frame:
     """Extract features and undistort keypoints (Frame.cc:56-123)."""
+    # upload the raw dtype (uint8 camera frames are 4x cheaper through the
+    # host->device tunnel) and convert on device
     feats = extractor.extract(
-        jnp.asarray(image, jnp.float32),
+        jnp.asarray(image).astype(jnp.float32),
         n_features=n_features or cfg.n_features,
         n_levels=cfg.n_levels,
         scale_factor=cfg.scale_factor,
@@ -70,22 +123,18 @@ def build_frame(
         fast_min_th=cfg.fast_min_threshold,
         use_harris_score=cfg.use_harris_score,
     )
-    xy = np.asarray(feats.xy)
     if np.any(cfg.dist4 != 0):
-        xy_un = np.asarray(_undistort(feats.xy, jnp.array(cfg.K4), jnp.array(cfg.dist4)))
+        xy_un = _undistort(feats.xy, jnp.array(cfg.K4), jnp.array(cfg.dist4))
     else:
-        xy_un = xy
-    return Frame(
-        frame_id=frame_id,
-        timestamp=timestamp,
-        xy=xy,
-        xy_un=xy_un,
-        level=np.asarray(feats.level),
-        angle=np.asarray(feats.angle),
-        response=np.asarray(feats.response),
-        desc=np.asarray(feats.desc),
-        valid=np.asarray(feats.valid),
-    )
+        xy_un = feats.xy
+    dev = {
+        "xy": feats.xy, "xy_un": xy_un, "level": feats.level,
+        "angle": feats.angle, "response": feats.response,
+        "desc": feats.desc, "valid": feats.valid,
+    }
+    f = Frame(frame_id=frame_id, timestamp=timestamp,
+              n_feat=int(feats.valid.shape[0]), dev=dev)
+    return f.materialize()
 
 
 def predict_scale_level(dist: np.ndarray, max_dist: np.ndarray, scale_factor: float,

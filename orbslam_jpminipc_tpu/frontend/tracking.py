@@ -27,8 +27,9 @@ from ..map.keyframe_db import KeyFrameDatabase
 from ..ops import matching
 from ..solvers import pose_opt, pnp, initializer
 from .frame import Frame, build_frame, predict_scale_level
+from . import fused_track
 
-MAX_LOCAL_POINTS = 4096
+MAX_LOCAL_POINTS = fused_track.MAX_SLICE
 
 
 class TrackState(enum.Enum):
@@ -73,6 +74,8 @@ class Tracker:
         self.n_inliers: int = 0
         self.rng_key = jax.random.key(cfg.seed)
         self.bounds = self._compute_bounds()
+        # device-resident fused WORKING path (fused_track.py)
+        self.fused = fused_track.FusedContext(cfg) if cfg.fused_tracking else None
         # callbacks wired by the System
         self.on_initialized = None   # fn(frame1, frame2, matches, init_result)
         self.on_new_keyframe = None  # fn(frame)
@@ -141,9 +144,141 @@ class Tracker:
             else:
                 self.state = TrackState.LOST
                 self.velocity = None
+                # a failed frame must not keep its garbage pose: the motion
+                # model would compose a wild velocity from it next frame and
+                # the trajectory would record a junk entry (the reference
+                # leaves mTcw empty on failure, Tracking.cc:244-311)
+                frame.R = None
+                frame.t = None
 
         self.last_frame = frame
         return self.state
+
+    # ------------------------------------------------------------------
+    # fused device-resident WORKING path (fused_track.py)
+    # ------------------------------------------------------------------
+
+    def fused_usable(self, frame_id: int) -> bool:
+        """The fused path covers the steady WORKING state; the wide-radius
+        post-relocalization window (Tracking.cc:646) stays on the host path."""
+        return (
+            self.fused is not None
+            and self.state == TrackState.WORKING
+            and self.fused.ready
+            and frame_id >= self.last_reloc_frame_id + 2
+        )
+
+    def slice_points(self) -> np.ndarray:
+        """Local-map point set around the reference KF: the points observed
+        by the covisible neighborhood (UpdateReference*, Tracking.cc:775-860),
+        prioritized by (seen-by-ref-kf, observation count) when over the
+        slice capacity — never arbitrary slot order."""
+        st = self.map
+        k = self.ref_kf
+        if k < 0 or not st.kf_valid[k]:
+            return np.zeros(0, np.int64)
+        covis = st.covisibility()
+        row = covis[k].copy()
+        row[~st.kf_valid] = 0
+        row[k] = 0
+        nb = np.nonzero(row > 0)[0]
+        nb = nb[np.argsort(-row[nb])][:79]
+        local = np.concatenate([[k], nb]).astype(np.int64)
+        pts = np.unique(st.kf_point[local])
+        pts = pts[pts >= 0]
+        pts = pts[st.mp_valid[pts]]
+        if len(pts) > MAX_LOCAL_POINTS:
+            ref_pts = st.kf_point[k]
+            in_ref = np.isin(pts, ref_pts[ref_pts >= 0])
+            nobs = (st.mp_obs_kf[pts] >= 0).sum(axis=1)
+            order = np.lexsort((-nobs, ~in_ref))
+            pts = np.sort(pts[order[:MAX_LOCAL_POINTS]])
+        return pts.astype(np.int64)
+
+    def refresh_fused_slice(self):
+        if self.fused is None:
+            return
+        pts = self.slice_points()
+        if len(pts):
+            self.fused.refresh_slice(self.map, pts)
+
+    def enter_fused(self, frame: Frame):
+        """(Re)arm the fused path from host state after init/reloc/fallback:
+        one packed pose upload + a slice refresh if none is resident."""
+        if self.fused is None or frame.R is None:
+            return
+        self.fused.set_pose(frame.R, frame.t, velocity=self.velocity)
+        if self.fused.slice_buf is None:
+            self.refresh_fused_slice()
+
+    def process_fused(self, image, frame_id: int, timestamp: float):
+        """One WORKING-state step on the fused device path: a single
+        dispatch and one small pull; host work is numpy bookkeeping."""
+        st = self.map
+        out = self.fused.track(image)
+        packed = np.asarray(out.packed)
+        bind = np.asarray(out.feat_bind)
+        flags = np.asarray(out.slice_flags)
+        frame = Frame(frame_id, timestamp, n_feat=len(bind), dev=out.feats)
+        frame.R = packed[:9].reshape(3, 3).astype(np.float32).copy()
+        frame.t = packed[9:12].astype(np.float32).copy()
+        self.n_inliers = int(packed[12])
+        # diagnostics: (inl2, inl1, n_match2, n_match1)
+        self.fused_stats = tuple(int(x) for x in packed[12:16])
+
+        ids = self.fused.slice_ids
+        n_ids = len(ids)
+        if n_ids:
+            live = st.mp_valid[ids] & (st.mp_gen[ids] == self.fused.slice_gen)
+            fl = flags[:n_ids]
+            vis = ((fl & fused_track.FLAG_VISIBLE) > 0) & live
+            fnd = ((fl & fused_track.FLAG_FOUND) > 0) & live
+            st.mp_visible[ids[vis]] += 1
+            st.mp_found[ids[fnd]] += 1
+
+            has = bind >= 0
+            slot = np.where(has, bind & 0xFFFF, 0)
+            inl = bind >= fused_track.BIND_INLIER
+            ok_slot = has & (slot < n_ids) & live[np.minimum(slot, n_ids - 1)]
+            frame.point[ok_slot] = ids[slot[ok_slot]]
+            frame.point_gen[ok_slot] = st.mp_gen[ids[slot[ok_slot]]]
+            frame.outlier[:] = ok_slot & ~inl
+
+        fell_back = False
+        ok = self.n_inliers >= 30
+        if not ok:
+            # host fallback on this frame's (lazily pulled) features
+            fell_back = True
+            ok = self._track_frame(frame)
+            if ok:
+                ok = self._track_local_map(frame)
+        else:
+            # reference-KF vote (UpdateReferenceKeyFrames, Tracking.cc:804-860)
+            pts = frame.point[(frame.point >= 0) & ~frame.outlier]
+            if len(pts):
+                obs = st.mp_obs_kf[pts]
+                votes = np.bincount(obs[obs >= 0], minlength=st.max_kf)
+                if votes.max() > 0:
+                    self.ref_kf = int(votes.argmax())
+
+        if ok:
+            self.state = TrackState.WORKING
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+            if self.last_frame is not None and self.last_frame.R is not None:
+                Rl, tl = self.last_frame.R, self.last_frame.t
+                Rv = frame.R @ Rl.T
+                self.velocity = (Rv, frame.t - Rv @ tl)
+            if fell_back:
+                self.fused.set_pose(frame.R, frame.t, velocity=self.velocity)
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self.fused.invalidate()
+            frame.R = None  # see process_frame: no garbage pose survives
+            frame.t = None
+        self.last_frame = frame
+        return self.state, frame
 
     # ------------------------------------------------------------------
     # initialization (Tracking.cc:360-420 + CreateInitialMap :422-524)
@@ -473,3 +608,5 @@ class Tracker:
         (Tracking::ForceRelocalisation, Tracking.cc:1052-1064)."""
         self.state = TrackState.LOST
         self.velocity = None
+        if self.fused is not None:
+            self.fused.invalidate()

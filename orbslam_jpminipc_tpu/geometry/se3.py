@@ -121,6 +121,26 @@ def compose(Ra, ta, Rb, tb) -> tuple[jax.Array, jax.Array]:
     return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta
 
 
+def orthonormalize(R: jax.Array) -> jax.Array:
+    """Project a near-rotation back onto SO(3) (batched over leading dims).
+
+    Two Newton steps of the polar-decomposition iteration
+    X <- X (3 I - X^T X) / 2 (quadratic convergence for ||X^T X - I|| < 1).
+    f32 rotation products drift off the manifold: the reference never hits
+    this because g2o's SE3Quat renormalizes its quaternion on every update
+    (Thirdparty/g2o se3quat.h); an iterative optimizer composing thousands
+    of 3x3 float32 products per frame MUST re-project or the accumulated
+    scale error masquerades as map-scale drift and eventually corrupts the
+    pose (det(R) wandering from 1 trades rotation scale against depth).
+    Closed-form and MXU-friendly — no SVD, no data-dependent control flow.
+    """
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(2):
+        RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+        R = jnp.einsum("...ij,...jk->...ik", R, 1.5 * eye - 0.5 * RtR)
+    return R
+
+
 def inverse(R, t) -> tuple[jax.Array, jax.Array]:
     Rt = jnp.swapaxes(R, -1, -2)
     return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)

@@ -55,7 +55,42 @@ def load_world(path: str, kfdb=None) -> MapState:
     state.next_mp_id = next_mp
     edges = json.loads(bytes(z["loop_edges"]).decode())
     state.kf_loop_edges = [set(e) for e in edges]
-    if kfdb is not None and "kfdb_bow_ids" in z:
+    if kfdb is not None and "kfdb_bow" in z and "kfdb_bow_ids" not in z:
+        # legacy dense-format checkpoint: rebuild sparse vectors from the
+        # dense (MAX_KF, n_words) matrix instead of silently loading an
+        # empty database (which would disable loop closure/relocalization)
+        dense = z["kfdb_bow"]
+        present = z.get("kfdb_present")
+        S = kfdb.bow_ids.shape[1]
+        for kf in range(min(dense.shape[0], kfdb.present.shape[0])):
+            if present is not None and not present[kf]:
+                continue
+            ids = np.nonzero(dense[kf])[0]
+            if len(ids) == 0:
+                continue
+            vals = dense[kf, ids].astype(np.float32)
+            if len(ids) > S:
+                keep = np.argsort(-vals)[:S]
+                ids, vals = ids[keep], vals[keep]
+            vals = vals / max(vals.sum(), 1e-12)
+            kfdb.present[kf] = True
+            kfdb.bow_n[kf] = len(ids)
+            kfdb.bow_ids[kf, :len(ids)] = ids
+            kfdb.bow_vals[kf, :len(ids)] = vals
+        kfdb._inv.clear()
+        for kf in np.nonzero(kfdb.present)[0]:
+            n = int(kfdb.bow_n[kf])
+            for w, v in zip(kfdb.bow_ids[kf, :n].tolist(),
+                            kfdb.bow_vals[kf, :n].tolist()):
+                kfdb._inv.setdefault(w, {})[int(kf)] = v
+    elif kfdb is not None and "kfdb_bow_ids" in z:
+        saved = z["kfdb_bow_ids"]
+        if saved.shape != kfdb.bow_ids.shape:
+            raise ValueError(
+                f"checkpoint BoW capacity {saved.shape} does not match the "
+                f"database {kfdb.bow_ids.shape}; construct the "
+                f"KeyFrameDatabase with matching max_kf/max_words_per_kf"
+            )
         kfdb.bow_ids[...] = z["kfdb_bow_ids"]
         kfdb.bow_vals[...] = z["kfdb_bow_vals"]
         kfdb.bow_n[...] = z["kfdb_bow_n"]

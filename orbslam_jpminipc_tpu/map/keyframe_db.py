@@ -67,7 +67,12 @@ class KeyFrameDatabase:
             self.erase(kf)
         ids, vals = self.query_bow(desc, feat_valid)
         S = self.bow_ids.shape[1]
-        ids, vals = ids[:S], vals[:S]
+        if len(ids) > S:
+            # keep the top-S words by weight and renormalize so stored
+            # vectors stay L1-normalized (similarities would skew otherwise)
+            keep = np.sort(np.argsort(-vals)[:S])
+            ids, vals = ids[keep], vals[keep]
+            vals = vals / max(vals.sum(), 1e-12)
         n = len(ids)
         self.bow_ids[kf, :n] = ids
         self.bow_ids[kf, n:] = -1

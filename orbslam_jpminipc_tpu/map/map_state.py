@@ -356,9 +356,9 @@ class MapState:
         ref = np.clip(self.mp_ref_kf[ids], 0, self.max_kf - 1)
         ref_slot = np.argmax(obs_kf == self.mp_ref_kf[ids][:, None], axis=1)
         desc, normal, dmin, dmax = _point_attrs(
-            jnp.array(descs), jnp.array(valid), jnp.array(self.mp_xyz[ids]),
-            jnp.array(centers), jnp.array(levels), jnp.array(ref_slot),
-            jnp.array(scale_factors),
+            descs, valid, self.mp_xyz[ids],
+            centers.astype(np.float32), levels, ref_slot.astype(np.int64),
+            scale_factors,
         )
         ids = ids[:n_real]
         self.mp_desc[ids] = np.asarray(desc)[:n_real]
@@ -376,7 +376,10 @@ def _covis_matmul(M: jax.Array) -> jax.Array:
     )
 
 
-@jax.jit
+from ..utils.pack import packed_call
+
+
+@packed_call
 def _point_attrs(descs, valid, xyz, centers, levels, ref_slot, scale_factors):
     """Batched distinctive-descriptor + normal/depth computation.
 

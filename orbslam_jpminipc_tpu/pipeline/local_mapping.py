@@ -21,6 +21,7 @@ from ..map.map_state import MapState
 from ..map.keyframe_db import KeyFrameDatabase
 from ..ops import matching
 from ..solvers import ba
+from ..utils.pack import packed_call
 
 
 # fixed fuse-target capacity (first + second covisibility ring, strongest
@@ -28,7 +29,7 @@ from ..solvers import ba
 FUSE_TARGETS = 32
 
 
-@jax.jit
+@packed_call
 def _fuse_batch(q_desc, q_xyz, q_min, q_max, q_valid,
                 t_desc, t_xy, t_level, t_valid, Rs, ts,
                 K4, scale_factors):
@@ -67,7 +68,7 @@ def _fuse_batch(q_desc, q_xyz, q_min, q_max, q_valid,
 TRI_NEIGHBORS = 20
 
 
-@jax.jit
+@packed_call
 def _tri_batch(desc1, xy1, angle1, level1, has1, valid1, R1, t1,
                descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2,
                K4, sigma2, scale_factors):
@@ -126,6 +127,11 @@ def _tri_batch(desc1, xy1, angle1, level1, has1, valid1, R1, t1,
     return jax.vmap(per_neighbor)(
         descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2
     )
+
+
+_two_stage_packed = packed_call(
+    lambda *arrs: ba.two_stage_local_ba(ba.BAProblem(*arrs))
+)
 
 
 class LocalMapper:
@@ -249,15 +255,15 @@ class LocalMapper:
         valids2[: len(active)] = st.kf_feat_valid[sel[: len(active)]]
 
         ok, idx, xw = _tri_batch(
-            jnp.array(st.kf_desc[kf]), jnp.array(st.kf_xy[kf]),
-            jnp.array(st.kf_angle[kf]), jnp.array(st.kf_level[kf]),
-            jnp.array(st.kf_point[kf] >= 0), jnp.array(st.kf_feat_valid[kf]),
-            jnp.array(R1), jnp.array(t1),
-            jnp.array(st.kf_desc[sel]), jnp.array(st.kf_xy[sel]),
-            jnp.array(st.kf_angle[sel]), jnp.array(st.kf_level[sel]),
-            jnp.array(st.kf_point[sel] >= 0), jnp.array(valids2),
-            jnp.array(st.kf_R[sel]), jnp.array(st.kf_t[sel]),
-            jnp.array(cfg.K4), jnp.array(cfg.sigma2), jnp.array(cfg.scale_factors),
+            st.kf_desc[kf], st.kf_xy[kf],
+            st.kf_angle[kf], st.kf_level[kf],
+            st.kf_point[kf] >= 0, st.kf_feat_valid[kf],
+            R1, t1,
+            st.kf_desc[sel], st.kf_xy[sel],
+            st.kf_angle[sel], st.kf_level[sel],
+            st.kf_point[sel] >= 0, valids2,
+            st.kf_R[sel], st.kf_t[sel],
+            cfg.K4, cfg.sigma2, cfg.scale_factors,
         )
         ok = np.asarray(ok)
         idx = np.asarray(idx)
@@ -358,12 +364,11 @@ class LocalMapper:
     def _run_fuse_batch(self, q_desc, q_xyz, q_min, q_max, q_valid, dst_kfs):
         st, cfg = self.map, self.cfg
         m = _fuse_batch(
-            jnp.array(q_desc), jnp.array(q_xyz), jnp.array(q_min),
-            jnp.array(q_max), jnp.array(q_valid),
-            jnp.array(st.kf_desc[dst_kfs]), jnp.array(st.kf_xy[dst_kfs]),
-            jnp.array(st.kf_level[dst_kfs]), jnp.array(st.kf_feat_valid[dst_kfs]),
-            jnp.array(st.kf_R[dst_kfs]), jnp.array(st.kf_t[dst_kfs]),
-            jnp.array(cfg.K4), jnp.array(cfg.scale_factors),
+            q_desc, q_xyz, q_min, q_max, q_valid,
+            st.kf_desc[dst_kfs], st.kf_xy[dst_kfs],
+            st.kf_level[dst_kfs], st.kf_feat_valid[dst_kfs],
+            st.kf_R[dst_kfs], st.kf_t[dst_kfs],
+            cfg.K4, cfg.scale_factors,
         )
         return np.asarray(m.mask), np.asarray(m.idx)
 
@@ -486,11 +491,11 @@ class LocalMapper:
                     n += 1
 
         prob = ba.BAProblem(
-            kf_R=jnp.array(kf_R), kf_t=jnp.array(kf_t), kf_fixed=jnp.array(kf_fixed),
-            points=jnp.array(points), point_valid=jnp.array(point_valid),
-            obs_kf=jnp.array(obs_kf), obs_pt=jnp.array(obs_pt),
-            obs_uv=jnp.array(obs_uv), obs_w=jnp.array(obs_w),
-            obs_valid=jnp.array(obs_valid), K4=jnp.array(cfg.K4),
+            kf_R=kf_R, kf_t=kf_t, kf_fixed=kf_fixed,
+            points=points, point_valid=point_valid,
+            obs_kf=obs_kf, obs_pt=obs_pt,
+            obs_uv=obs_uv, obs_w=obs_w,
+            obs_valid=obs_valid, K4=cfg.K4,
         )
         return prob, all_kfs, pts, obs_src
 
@@ -499,7 +504,8 @@ class LocalMapper:
         prob, all_kfs, pts, obs_src = self.build_local_ba_problem(kf)
         if len(obs_src) < 20:
             return
-        res = ba.two_stage_local_ba(prob)
+        # the whole fixed-shape problem ships as ONE host->device transfer
+        res = _two_stage_packed(*prob)
         # writeback (Optimizer.cc:504-534)
         kf_R = np.asarray(res.kf_R)
         kf_t = np.asarray(res.kf_t)

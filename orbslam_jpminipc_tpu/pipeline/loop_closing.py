@@ -23,6 +23,7 @@ from ..map.map_state import MapState
 from ..map.keyframe_db import KeyFrameDatabase
 from ..ops import matching
 from ..solvers import sim3solver, sim3_opt, essential_graph
+from ..utils.tracing import get_tracer
 from ..frontend.frame import predict_scale_level
 
 _mutual = jax.jit(matching.mutual_match, static_argnames=("max_dist", "check_rotation"))
@@ -455,6 +456,10 @@ class LoopCloser:
         cap = cfg.eg_edges  # static edge capacity: one compiled program
         if E > cap:
             # keep loop connections + spanning tree first (edge order above)
+            get_tracer().log(
+                "essential_graph_edges_dropped", total=E, cap=cap,
+                dropped=E - cap,
+            )
             e_i, e_j = e_i[:cap], e_j[:cap]
             e_s, e_R, e_t = e_s[:cap], e_R[:cap], e_t[:cap]
             E = cap

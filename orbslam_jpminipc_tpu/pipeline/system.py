@@ -54,36 +54,57 @@ class Slam:
 
     # ------------------------------------------------------------------
 
-    def process(self, image: np.ndarray, timestamp: float = 0.0) -> tuple[TrackState, Frame]:
-        # double feature budget until the map is initialized (the reference
-        # builds a dedicated 2x-features extractor for init, Tracking.cc:126)
-        initializing = self.tracker.state in (
-            TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED, TrackState.INITIALIZING
-        )
-        n_features = 2 * self.cfg.n_features if initializing else self.cfg.n_features
-        with self.tracer.stage("extract"):
-            frame = build_frame(
-                image, self.cfg, frame_id=self.frame_count, timestamp=timestamp,
-                n_features=n_features,
-            )
+    def process(self, image, timestamp: float = 0.0) -> tuple[TrackState, Frame]:
+        """One frame. `image` may be a host uint8 array or an already
+        device-put array (prefetched by the caller to overlap the upload
+        with the previous frame's compute)."""
+        frame_id = self.frame_count
         self.frame_count += 1
-        with self.tracer.stage("track"):
-            state = self.tracker.process_frame(frame)
+        tr = self.tracker
+        if tr.fused_usable(frame_id):
+            # steady-state device path: extraction happens INSIDE the fused
+            # program; one upload (the image), one dispatch, one small pull
+            with self.tracer.stage("track"):
+                state, frame = tr.process_fused(image, frame_id, timestamp)
+        else:
+            # double feature budget until the map is initialized (the
+            # reference builds a 2x-features init extractor, Tracking.cc:126)
+            initializing = tr.state in (
+                TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED,
+                TrackState.INITIALIZING,
+            )
+            n_features = 2 * self.cfg.n_features if initializing else self.cfg.n_features
+            with self.tracer.stage("extract"):
+                frame = build_frame(
+                    image, self.cfg, frame_id=frame_id, timestamp=timestamp,
+                    n_features=n_features,
+                )
+            with self.tracer.stage("track"):
+                state = tr.process_frame(frame)
+            if state == TrackState.WORKING and self.cfg.fused_tracking:
+                # (re)arm the fused path for the next frame
+                tr.enter_fused(frame)
         if frame.R is not None:
             self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
         # amortized mapping: run pending stages after the pose is out (the
         # tracker never waits for the mapper); drain two per frame when the
         # queue backs up behind a burst of keyframes
         if self.pending:
-            backlog = sum(len(s) for _, s in self.pending)
+            # two stages per frame: the amortized mapper then clears one
+            # keyframe's backlog in ~3 frames (~100 ms at 30 fps) — the
+            # reference mapper thread's cadence (LocalMapping::Run)
             with self.tracer.stage("mapping"):
-                for _ in range(2 if backlog > 6 else 1):
+                for _ in range(2):
                     if self.pending:
                         self._run_pending_stage()
-        # auto-reset shortly after a failed start (Tracking.cc:287-294)
-        if state == TrackState.LOST and int(self.map.kf_valid.sum()) <= 5 and int(self.map.kf_valid.sum()) > 0:
-            if frame.frame_id < 50:
-                self.reset()
+            # mapping stages mutate the map: refresh the device-resident
+            # tracking slice (one async upload) so the fused path sees it
+            tr.refresh_fused_slice()
+        # auto-reset after a failed start (Tracking.cc:287-294 — the
+        # reference gates on map size alone)
+        n_kf = int(self.map.kf_valid.sum())
+        if state == TrackState.LOST and 0 < n_kf <= 5:
+            self.reset()
         return state, frame
 
     def reset(self):
@@ -98,6 +119,8 @@ class Slam:
         self.tracker.last_frame = None
         self.tracker.init_frame = None
         self.tracker.ref_kf = -1
+        if self.tracker.fused is not None:
+            self.tracker.fused.invalidate()
         self.mapper.map = self.map
         self.mapper.probation = []
         self.pending = []
@@ -171,8 +194,9 @@ class Slam:
 
     def _two_frame_global_ba(self, kf0: int, kf1: int, ids: np.ndarray, iters: int = 20):
         st, cfg = self.map, self.cfg
-        # static shape: init produces <= 2*n_features matches; one program
-        P = 2048
+        # static capacity: init produces <= one point per f0 feature (the
+        # init extractor runs with a 2x budget, Tracking.cc:126)
+        P = max(2048, 1 << int(np.ceil(np.log2(2 * cfg.n_features))))
         points = np.zeros((P, 3), np.float32)
         points[: len(ids)] = st.mp_xyz[ids]
         pvalid = np.zeros(P, bool)
@@ -219,6 +243,7 @@ class Slam:
             with self.tracer.stage("mapping"):
                 kf = self.mapper.insert_keyframe(frame)
             self.tracker.ref_kf = kf
+            self.tracker.refresh_fused_slice()
             for _, stages in self.pending:
                 if "ba" in stages:
                     stages.remove("ba")
@@ -228,6 +253,7 @@ class Slam:
             kf = self.mapper.process(frame)
         self.tracker.ref_kf = kf
         self._loop_close(kf)
+        self.tracker.refresh_fused_slice()
 
     def _run_pending_stage(self):
         kf, stages = self.pending[0]

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import exp_se3, compose
+from ..geometry.se3 import exp_se3, compose, orthonormalize
 from .reproj import residuals, jacobians, huber_weight, CHI2_MONO
 
 
@@ -178,6 +178,7 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, lam0: float = -1.0) -> 
         dc, dp, bc, bp = _solve_delta(prob, R, t, pts, lam)
         dR, dt = exp_se3(dc)
         R_new, t_new = compose(dR, dt, R, t)
+        R_new = orthonormalize(R_new)  # keep f32 products on SO(3)
         # fixed cameras keep their exact pose (delta is 0 there anyway)
         pts_new = pts + dp
         chi_new = _robust_chi2(prob, R_new, t_new, pts_new)

@@ -36,7 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import exp_se3, compose
+from ..geometry.se3 import exp_se3, compose, orthonormalize
 from .linalg3 import inv3
 from .reproj import residuals, jacobians, huber_weight, CHI2_MONO
 from .ba import BAProblem, BAResult, _robust_chi2
@@ -170,6 +170,7 @@ def bundle_adjust_large(prob: BAProblem, iterations: int = 20,
         dc, dp, bc, bp = _solve_delta_pcg(prob, R, t, pts, lam, cg_iters)
         dR, dt = exp_se3(dc)
         R_new, t_new = compose(dR, dt, R, t)
+        R_new = orthonormalize(R_new)  # keep f32 products on SO(3)
         pts_new = pts + dp
         chi_new = _robust_chi2(prob, R_new, t_new, pts_new)
         # gain ratio rho = (chi - chi_new) / predicted reduction, predicted

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import exp_se3, compose
+from ..geometry.se3 import exp_se3, compose, orthonormalize
 from .reproj import residuals, jacobians, huber_weight
 from .linalg3 import solve6_spd
 
@@ -127,6 +127,9 @@ def optimize_pose(
             0, _ROUND_ITERS[rnd], lm_body,
             (R, t, lam0, jnp.float32(2.0), chi_r),
         )
+        # ~30 f32 rotation products per round drift R off SO(3); re-project
+        # (g2o renormalizes its quaternion per update, se3quat.h)
+        R = orthonormalize(R)
         # re-level: recompute inliers from scratch (outliers can return)
         c, pos = chi2_of(R, t)
         inlier = valid & (c <= gate) & pos

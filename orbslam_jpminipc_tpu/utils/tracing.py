@@ -14,6 +14,9 @@ import time
 from collections import defaultdict
 
 
+MAX_SAMPLES = 65536  # bound per-stage sample memory for long sessions
+
+
 class StageTracer:
     def __init__(self, jsonl_path: str | None = None):
         self.totals = defaultdict(float)
@@ -34,7 +37,13 @@ class StageTracer:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
-            self.samples[name].append(dt * 1e3)
+            s = self.samples[name]
+            if len(s) >= MAX_SAMPLES:
+                # reservoir-style decimation: drop every other sample so the
+                # list stays bounded over hours-long sessions while keeping
+                # a uniform subsample for the percentiles
+                del s[::2]
+            s.append(dt * 1e3)
             if self._jsonl is not None:
                 self._jsonl.write(
                     json.dumps({"stage": name, "ms": round(dt * 1e3, 3), **fields}) + "\n"

@@ -55,7 +55,9 @@ class TestEndToEnd:
         assert len(est) > 35
         assert slam.n_keyframes >= 3
         assert slam.n_points > 200
-        assert ate < 0.35, ate
+        # ~0.2% of the ~0.9 m extent in steady state; 3 cm is a
+        # 15x margin and still ~10x under the old 0.35 m gate
+        assert ate < 0.03, ate
         # trajectory file round-trips
         save_tum(str(tmp_path / "traj.txt"), slam.trajectory)
         lines = open(tmp_path / "traj.txt").read().strip().split("\n")
@@ -76,7 +78,7 @@ class TestEndToEnd:
         assert states.count("WORKING") > 45, states
         assert slam.n_keyframes >= 3
         assert slam.n_points > 200
-        assert ate < 0.35, ate
+        assert ate < 0.03, ate
         # backpressure (mbAcceptKeyFrames parity) keeps the queue bounded
         assert sum(len(s) for _, s in slam.pending) <= 12
 
