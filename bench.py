@@ -233,6 +233,26 @@ def bench_e2e():
     wall = time.perf_counter() - t0
     fps = n_frames / wall
 
+    # real-time mode: consume against the 30 fps camera clock and DROP late
+    # frames (the reference's live image topic with a depth-1 queue,
+    # src/main.cc:169, src/Tracking.cc:166-189)
+    rt = Slam(cfg, vocab=voc)
+    fps_clock = 30.0
+    t0 = time.perf_counter()
+    i = done = dropped = 0
+    while i < n_frames:
+        img, ts, _ = frames[i]
+        rt.process(img, ts)
+        done += 1
+        arrived = int((time.perf_counter() - t0) * fps_clock) + 1
+        nxt = min(max(i + 1, arrived), n_frames)
+        dropped += nxt - (i + 1)
+        i = nxt
+    rt_tracked = len(rt.trajectory)
+    print(f"realtime@30fps: processed {done}/{n_frames}, dropped {dropped} "
+          f"({100.0*dropped/n_frames:.1f}%), tracked {rt_tracked}",
+          file=sys.stderr)
+
     gt = {round(float(seq.timestamps[i]), 6): seq.poses[i] for i in range(n_frames)}
     est_c, gt_c = [], []
     for ts, R, t in slam.trajectory:
@@ -251,6 +271,9 @@ def bench_e2e():
               f"x{v['count']}", file=sys.stderr)
     return {
         "fps": round(fps, 2),
+        "realtime_dropped_pct": round(100.0 * dropped / n_frames, 1),
+        "realtime_processed": done,
+        "realtime_tracked": rt_tracked,
         "frames": n_frames,
         "keyframes": slam.n_keyframes,
         "points": slam.n_points,

@@ -76,6 +76,9 @@ class SlamConfig:
 
     # global BA over the whole map (scalable implicit-Schur solver)
     post_loop_gba: bool = False   # run global BA after each loop closure
+    # route global BA / essential graph to the map-partitioned multi-device
+    # solvers (parallel/) whenever more than one device is visible
+    distributed_gba: bool = True
     gba_iterations: int = 20      # LM budget (Optimizer.cc:38 default 5/20)
     gba_cg_iters: int = 64        # PCG budget for the reduced camera system
     gba_obs: int = 65536          # observation capacity of the global problem

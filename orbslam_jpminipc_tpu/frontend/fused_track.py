@@ -109,7 +109,8 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
     ))
 
     def match_pass(R, t, xyz, normal, mind, maxd, valid, desc,
-                   f_xy, f_desc, f_level, f_valid, radius_mult, nn_ratio):
+                   f_xy, f_desc, f_level, f_valid, radius_mult, nn_ratio,
+                   n_rounds=4):
         ok, uv, _, view_cos, dist = frustum_check(
             xyz, R, t, K4, bounds, normal, 0.8 * mind, 1.2 * maxd
         )
@@ -135,7 +136,8 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
         has = feat_pt >= 0
         xw = xyz[jnp.clip(feat_pt, 0, n_map - 1)]
         w = inv_sigma2[jnp.clip(f_level, 0, n_levels - 1)]
-        res = pose_opt.optimize_pose(R, t, xw, f_xy, w, has, K4)
+        res = pose_opt.optimize_pose(R, t, xw, f_xy, w, has, K4,
+                                     n_rounds=n_rounds)
         return res, feat_pt, has, ok, jnp.sum(m.mask)
 
     @jax.jit
@@ -180,12 +182,37 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
         res1, _, _, ok1, n_m1 = match_pass(
             R0, t0, xyz, normal, mind, maxd, anchor, desc,
             xy_un, feats.desc, feats.level, feats.valid,
-            radius_mult=3.0, nn_ratio=0.9,
+            radius_mult=3.0, nn_ratio=0.9, n_rounds=2,
         )
+        # recovery pass: at motion-model breakdowns (direction reversals,
+        # accelerations) the prediction error exceeds the pass-1 radius and
+        # inliers collapse for one frame. The reference re-searches with a
+        # doubled window and falls back to a 200 px window search
+        # (ORBmatcher.cc:1600-1616, TrackPreviousFrame :526-592); here one
+        # extra ~10x-radius pass from the same prediction fills that role.
+        def wide_recovery(_):
+            r, _, _, _, _ = match_pass(
+                R0, t0, xyz, normal, mind, maxd, anchor, desc,
+                xy_un, feats.desc, feats.level, feats.valid,
+                radius_mult=10.0, nn_ratio=0.9, n_rounds=2,
+            )
+            return r.R, r.t, r.n_inliers
+
+        def no_recovery(_):
+            return res1.R, res1.t, res1.n_inliers
+
+        # lax.cond: the wide pass costs a full match+optimize — only pay it
+        # on the rare frames where the narrow pass collapsed
+        Rw, tw, nw = jax.lax.cond(
+            res1.n_inliers < 20, wide_recovery, no_recovery, None)
+        use_wide = nw > res1.n_inliers
+        n_inl1 = jnp.where(use_wide, nw, res1.n_inliers)
+        R1p = jnp.where(use_wide, Rw, res1.R)
+        t1p = jnp.where(use_wide, tw, res1.t)
         # accept pass 1 only if it converged on enough inliers
-        acc1 = res1.n_inliers >= 10
-        R1 = jnp.where(acc1, res1.R, R0)
-        t1 = jnp.where(acc1, res1.t, t0)
+        acc1 = n_inl1 >= 10
+        R1 = jnp.where(acc1, R1p, R0)
+        t1 = jnp.where(acc1, t1p, t0)
 
         # pass 2: tight search under the refined pose (TrackLocalMap)
         res2, feat_pt, has, ok2, n_m2 = match_pass(
@@ -215,7 +242,7 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
             res2.R.reshape(-1), res2.t,
             jnp.stack([
                 res2.n_inliers.astype(jnp.float32),
-                res1.n_inliers.astype(jnp.float32),
+                n_inl1.astype(jnp.float32),
                 n_m2.astype(jnp.float32), n_m1.astype(jnp.float32),
             ]),
         ])
@@ -240,13 +267,28 @@ def _unpack_pose(buf):
     return buf[:9].reshape(3, 3), buf[9:12]
 
 
+_STEP_CACHE: dict = {}
+
+
 class FusedContext:
     """Host handle on the device-resident tracking state."""
 
     def __init__(self, cfg: SlamConfig, n_map: int = MAX_SLICE):
         self.cfg = cfg
         self.n_map = n_map
-        self.step = make_fused_step(cfg, n_map)
+        # one traced program per camera/extractor configuration, shared
+        # across Slam instances — retracing the full fused step costs many
+        # seconds and the persistent cache only skips the XLA compile
+        key = (n_map, cfg.n_features, cfg.n_levels, cfg.scale_factor,
+               cfg.fast_threshold, cfg.fast_min_threshold,
+               cfg.use_harris_score, cfg.width, cfg.height,
+               tuple(np.asarray(cfg.K4).tolist()),
+               tuple(np.asarray(cfg.dist4).tolist()))
+        step = _STEP_CACHE.get(key)
+        if step is None:
+            step = make_fused_step(cfg, n_map)
+            _STEP_CACHE[key] = step
+        self.step = step
         # device state (constants created once — a jnp.asarray per frame
         # would be a 6 ms host->device transfer through the tunnel)
         self._true = jnp.asarray(True)

@@ -76,6 +76,9 @@ class Tracker:
         self.bounds = self._compute_bounds()
         # device-resident fused WORKING path (fused_track.py)
         self.fused = fused_track.FusedContext(cfg) if cfg.fused_tracking else None
+        # device mirror of the map (owned by the LocalMapper, wired by the
+        # System): slice refreshes gather on device instead of re-uploading
+        self.dmap = None
         # callbacks wired by the System
         self.on_initialized = None   # fn(frame1, frame2, matches, init_result)
         self.on_new_keyframe = None  # fn(frame)
@@ -198,8 +201,37 @@ class Tracker:
     def refresh_fused_slice(self):
         if self.fused is None:
             return
+        # skip when neither the mirror nor the reference KF changed since
+        # the last refresh — the slice would be identical
+        key = (self.dmap.version if self.dmap is not None else -1,
+               self.ref_kf, self.map.next_kf_id)
+        if getattr(self, "_slice_key", None) == key:
+            return
+        self._slice_key = key
         pts = self.slice_points()
-        if len(pts):
+        if len(pts) == 0:
+            return
+        if self.dmap is not None:
+            from ..map.device_map import slice_kernel
+
+            st = self.map
+            M = MAX_LOCAL_POINTS
+            pts = pts[:M]
+            n = len(pts)
+            ids = np.zeros(M, np.int32)
+            ids[:n] = pts
+            rv = np.zeros(M, bool)
+            rv[:n] = True
+            n_obs = np.zeros(M, np.float32)
+            n_obs[:n] = (st.mp_obs_kf[pts] >= 0).sum(axis=1)
+            dm = self.dmap
+            self.fused.slice_buf = slice_kernel(
+                dm.mp_xyz, dm.mp_desc, dm.mp_normal, dm.mp_min_dist,
+                dm.mp_max_dist, dm.mp_valid, ids, rv, n_obs,
+            )
+            self.fused.slice_ids = pts.astype(np.int64)
+            self.fused.slice_gen = st.mp_gen[pts].copy()
+        else:
             self.fused.refresh_slice(self.map, pts)
 
     def enter_fused(self, frame: Frame):
@@ -215,8 +247,13 @@ class Tracker:
         """One WORKING-state step on the fused device path: a single
         dispatch and one small pull; host work is numpy bookkeeping."""
         st = self.map
-        out = self.fused.track(image)
-        packed = np.asarray(out.packed)
+        from ..utils.tracing import get_tracer
+
+        tracer = get_tracer()
+        with tracer.stage("track_dispatch"):
+            out = self.fused.track(image)
+        with tracer.stage("track_pull"):
+            packed = np.asarray(out.packed)
         bind = np.asarray(out.feat_bind)
         flags = np.asarray(out.slice_flags)
         frame = Frame(frame_id, timestamp, n_feat=len(bind), dev=out.feats)
@@ -522,8 +559,12 @@ class Tracker:
             return False
         # mapper busy: the reference interrupts the running BA instead of
         # inserting (InterruptBA, :692-698); our amortized queue drops the
-        # pending BA stage when the KF does get inserted, so just defer
-        return idle or c1a
+        # pending BA stage when the KF does get inserted, so defer — unless
+        # tracking is decaying hard, in which case insert anyway (ORB-SLAM2's
+        # idle-override: interrupt BA and take the KF; the queue can hold
+        # several keyframes, Tracking.cc of ORB_SLAM2 NeedNewKeyFrame)
+        urgent = self.n_inliers < 0.5 * ref_matches
+        return idle or c1a or urgent
 
     def _create_keyframe(self, frame: Frame):
         if self.on_new_keyframe is not None:

@@ -107,6 +107,7 @@ def load_world(path: str, kfdb=None) -> MapState:
 
 
 def save_slam(path: str, slam):
+    slam.mapper.drain_attrs()  # flush deferred attribute writebacks
     save_world(path, slam.map, slam.kfdb)
 
 
@@ -120,6 +121,7 @@ def load_slam(path: str, slam):
     slam.map = state
     slam.tracker.map = state
     slam.mapper.map = state
+    slam.mapper.dmap.sync_all(state)
     if slam.loop_closer is not None:
         slam.loop_closer.map = state
     slam.tracker.state = TrackState.LOST

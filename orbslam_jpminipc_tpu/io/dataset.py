@@ -55,6 +55,32 @@ def _make_texture(rng, size=1024, blobs=900):
     return cv2.GaussianBlur(tex, (3, 3), 0.7)
 
 
+def _tile_quad(corners: np.ndarray, tex: np.ndarray, n: int = 10):
+    """Split a textured planar quad into an n x n grid of sub-quads, each
+    with its texture sub-rectangle (bilinear corner interpolation — exact
+    for planar quads with the affine texture parameterization used here)."""
+    if n <= 1:
+        return [(corners, tex)]
+    size = tex.shape[0]
+    c00, c10, c11, c01 = corners[0], corners[1], corners[2], corners[3]
+
+    def lerp(u, v):
+        a = c00 * (1 - u) + c10 * u
+        b = c01 * (1 - u) + c11 * u
+        return a * (1 - v) + b * v
+
+    out = []
+    for j in range(n):
+        v0, v1 = j / n, (j + 1) / n
+        y0, y1 = int(round(v0 * (size - 1))), int(round(v1 * (size - 1))) + 1
+        for i in range(n):
+            u0, u1 = i / n, (i + 1) / n
+            x0, x1 = int(round(u0 * (size - 1))), int(round(u1 * (size - 1))) + 1
+            sub = np.stack([lerp(u0, v0), lerp(u1, v0), lerp(u1, v1), lerp(u0, v1)])
+            out.append((sub.astype(np.float32), tex[y0:y1, x0:x1]))
+    return out
+
+
 class SyntheticSequence:
     """Renders a textured two-plane world from a ground-truth trajectory.
 
@@ -116,6 +142,11 @@ class SyntheticSequence:
                           [-hw, fy, z_near], [hw, fy, z_near]], np.float32),
                 _make_texture(np.random.default_rng(seed + 4)),
             ))
+        # Tile the room quads: the renderer drops any quad with a corner
+        # behind the near plane, and a camera INSIDE the room (orbit) always
+        # has some wall partially behind it — untiled, whole walls vanish
+        # and some view angles render black. Tiles lose only thin slivers.
+        self.quads = [t for q in self.quads for t in _tile_quad(*q, n=10)]
         # "Furniture": fronto-parallel panels at spread depths. Without
         # close-range structure, the matched features' depth relief is too
         # shallow and a small rotation is absorbed by a compensating
@@ -192,10 +223,11 @@ class SyntheticSequence:
             poses.append((R.astype(np.float32), t.astype(np.float32)))
         return poses
 
-    def _plane_homography(self, R, t, corners_world, tex_size):
+    def _plane_homography(self, R, t, corners_world, tex_shape):
         """Homography mapping texture pixels -> image pixels for a quad."""
+        th, tw = tex_shape[:2]
         src = np.array(
-            [[0, 0], [tex_size - 1, 0], [tex_size - 1, tex_size - 1], [0, tex_size - 1]],
+            [[0, 0], [tw - 1, 0], [tw - 1, th - 1], [0, th - 1]],
             np.float32,
         )
         xc = corners_world @ R.T + t
@@ -209,7 +241,7 @@ class SyntheticSequence:
         R, t = self.poses[i]
         img = np.zeros((self.height, self.width), np.uint8)
         for corners, tex in self.quads:
-            H = self._plane_homography(R, t, corners, tex.shape[0])
+            H = self._plane_homography(R, t, corners, tex.shape)
             if H is not None:
                 img = cv2.warpPerspective(
                     tex, H, (self.width, self.height), dst=img,

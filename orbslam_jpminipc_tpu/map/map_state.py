@@ -337,8 +337,16 @@ class MapState:
         """Recompute distinctive descriptor + normal + depth band for the
         given points (MapPoint::ComputeDistinctiveDescriptors :185-250 and
         UpdateNormalAndDepth :273-312), batched on device."""
+        pending = self.update_point_attributes_async(ids, scale_factors)
+        if pending is not None:
+            self.apply_point_attributes(pending)
+
+    def update_point_attributes_async(self, ids, scale_factors):
+        """Dispatch the attrs computation; returns an opaque pending handle
+        for apply_point_attributes. The caller may delay the apply (one
+        device->host pull) to overlap the compute with other work."""
         if len(ids) == 0:
-            return
+            return None
         # pad to the next power of two: the batch size varies per call, and
         # each distinct shape would compile a fresh _point_attrs program
         # (seconds apiece through a remote-compile TPU path). Pad rows
@@ -360,11 +368,23 @@ class MapState:
             centers.astype(np.float32), levels, ref_slot.astype(np.int64),
             scale_factors,
         )
-        ids = ids[:n_real]
-        self.mp_desc[ids] = np.asarray(desc)[:n_real]
-        self.mp_normal[ids] = np.asarray(normal)[:n_real]
-        self.mp_min_dist[ids] = np.asarray(dmin)[:n_real]
-        self.mp_max_dist[ids] = np.asarray(dmax)[:n_real]
+        return (ids[:n_real], self.mp_gen[ids[:n_real]].copy(),
+                desc, normal, dmin, dmax)
+
+    def apply_point_attributes(self, pending):
+        """Pull + write back an async attrs computation. Generation-checked:
+        points culled between dispatch and apply are skipped."""
+        if pending is None:
+            return np.zeros(0, np.int64)
+        ids, gens, desc, normal, dmin, dmax = pending
+        n_real = len(ids)
+        fresh = self.mp_gen[ids] == gens
+        ids = ids[fresh]
+        self.mp_desc[ids] = np.asarray(desc)[:n_real][fresh]
+        self.mp_normal[ids] = np.asarray(normal)[:n_real][fresh]
+        self.mp_min_dist[ids] = np.asarray(dmin)[:n_real][fresh]
+        self.mp_max_dist[ids] = np.asarray(dmax)[:n_real][fresh]
+        return ids
 
 
 @jax.jit

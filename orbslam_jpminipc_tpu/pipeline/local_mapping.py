@@ -18,120 +18,20 @@ from ..frontend.frame import Frame
 from ..geometry import epipolar, triangulate
 from ..map import culling
 from ..map.map_state import MapState
+from ..map.device_map import (
+    DeviceMap, fuse_kernel, tri_kernel, local_ba_kernel,
+)
 from ..map.keyframe_db import KeyFrameDatabase
 from ..ops import matching
 from ..solvers import ba
-from ..utils.pack import packed_call
 
 
 # fixed fuse-target capacity (first + second covisibility ring, strongest
 # first) — one compiled program for SearchInNeighbors
 FUSE_TARGETS = 32
 
-
-@packed_call
-def _fuse_batch(q_desc, q_xyz, q_min, q_max, q_valid,
-                t_desc, t_xy, t_level, t_valid, Rs, ts,
-                K4, scale_factors):
-    """Batched ORBmatcher::Fuse search (ORBmatcher.cc:1016-1134): project
-    each row's query point set into its row's target keyframe and match.
-    Projection, depth-band gating and scale prediction all happen on device;
-    the host only consumes the (T, F) match table for the merge bookkeeping.
-    """
-    n_levels = scale_factors.shape[0]
-    log_sf = jnp.log(scale_factors[1])
-
-    def per_target(qd, qx, qmin, qmax, qv, td, txy, tl, tv, R, t):
-        xc = qx @ R.T + t
-        z = xc[:, 2]
-        uv = jnp.stack([
-            K4[0] * xc[:, 0] / jnp.maximum(z, 1e-9) + K4[2],
-            K4[1] * xc[:, 1] / jnp.maximum(z, 1e-9) + K4[3],
-        ], axis=1)
-        O = -R.T @ t
-        dist = jnp.linalg.norm(qx - O, axis=-1)
-        valid = qv & (z > 0)
-        valid &= (dist >= 0.8 * qmin) & (dist <= 1.2 * qmax)
-        ratio = jnp.maximum(qmax, 1e-9) / jnp.maximum(dist, 1e-9)
-        pred = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf)
-        pred = jnp.clip(pred, 0, n_levels - 1).astype(jnp.int32)
-        return matching.fuse_search(
-            qd, uv, pred, valid, td, txy, tl, tv, scale_factors
-        )
-
-    return jax.vmap(per_target)(
-        q_desc, q_xyz, q_min, q_max, q_valid,
-        t_desc, t_xy, t_level, t_valid, Rs, ts,
-    )
-
 # fixed neighbor capacity: all of CreateNewMapPoints is ONE compiled program
 TRI_NEIGHBORS = 20
-
-
-@packed_call
-def _tri_batch(desc1, xy1, angle1, level1, has1, valid1, R1, t1,
-               descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2,
-               K4, sigma2, scale_factors):
-    """Triangulation against all covisible neighbors in one program.
-
-    Replaces the reference's per-neighbor loop (CreateNewMapPoints,
-    LocalMapping.cc:227-393: ComputeF12 + SearchForTriangulation + cv SVD
-    triangulation + 6 validity gates) with a vmap over a padded neighbor
-    axis — one dispatch and one host transfer per keyframe instead of ~20.
-
-    Returns (ok (B, F) bool, idx (B, F) int32, xw (B, F, 3)).
-    """
-    O1 = -R1.T @ t1
-    ratio_factor = 1.5 * scale_factors[1]
-
-    def per_neighbor(desc2, xy2, angle2, level2, h2, v2, R2, t2):
-        F12 = epipolar.fundamental_from_poses(R1, t1, R2, t2, K4)
-        O2 = -R2.T @ t2
-        # epipole of camera 1 in image 2 (LocalMapping.cc:262-266)
-        xc_e = R2 @ O1 + t2
-        ep = jnp.stack([
-            K4[0] * xc_e[0] / jnp.maximum(xc_e[2], 1e-9) + K4[2],
-            K4[1] * xc_e[1] / jnp.maximum(xc_e[2], 1e-9) + K4[3],
-        ])
-        m = matching.search_for_triangulation(
-            desc1, xy1, angle1, level1, has1, valid1,
-            desc2, xy2, angle2, level2, h2, v2,
-            F12, sigma2, ep, scale_factors,
-        )
-        uv1, uv2 = xy1, xy2[m.idx]
-        P1 = triangulate.projection_matrix(R1, t1, K4)
-        P2 = triangulate.projection_matrix(R2, t2, K4)
-        xw, ok_dlt = triangulate.triangulate_dlt(uv1, uv2, P1, P2)
-        ok = m.mask & ok_dlt
-        # validity gates (:299-374)
-        e1, pos1 = triangulate.reprojection_error2(xw, uv1, R1, t1, K4)
-        e2, pos2 = triangulate.reprojection_error2(xw, uv2, R2, t2, K4)
-        ok &= pos1 & pos2
-        ok &= triangulate.parallax_cos(xw, O1, O2) < 0.9998
-        n_levels = sigma2.shape[0]
-        s1 = sigma2[jnp.clip(level1, 0, n_levels - 1)]
-        s2 = sigma2[jnp.clip(level2[m.idx], 0, n_levels - 1)]
-        ok &= (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
-        # scale consistency (:356-372)
-        d1 = jnp.linalg.norm(xw - O1, axis=-1)
-        d2 = jnp.linalg.norm(xw - O2, axis=-1)
-        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
-        sf1 = scale_factors[jnp.clip(level1, 0, n_levels - 1)]
-        sf2 = scale_factors[jnp.clip(level2[m.idx], 0, n_levels - 1)]
-        ratio_octave = sf1 / sf2
-        ok &= (ratio_dist < ratio_octave * ratio_factor) & (
-            ratio_dist * ratio_factor > ratio_octave
-        )
-        return ok, m.idx, xw
-
-    return jax.vmap(per_neighbor)(
-        descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2
-    )
-
-
-_two_stage_packed = packed_call(
-    lambda *arrs: ba.two_stage_local_ba(ba.BAProblem(*arrs))
-)
 
 
 class LocalMapper:
@@ -140,6 +40,16 @@ class LocalMapper:
         self.map = state
         self.kfdb = kfdb
         self.probation: list[int] = []  # recently created points under culling
+        # device-resident mirror of the map arrays: stage kernels gather
+        # their operands on device, only indices ship per call
+        self.dmap = DeviceMap(state.max_kf, state.n_feat, state.max_mp)
+        # split-stage state: device results awaiting their merge half, and
+        # point ids awaiting the per-keyframe attrs pass
+        self._tri_pending = None
+        self._fuse_pending = None
+        self._ba_pending = None
+        self._attrs_pending: list[int] = []
+        self._attrs_inflight = None  # dispatched attrs awaiting writeback
 
     # ------------------------------------------------------------------
 
@@ -161,11 +71,14 @@ class LocalMapper:
                 mp = int(frame.point[f])
                 if st.mp_valid[mp]:
                     st.add_observation(mp, kf, int(f))
-        st.update_point_attributes(frame.point[tracked], self.cfg.scale_factors)
+        # the descriptor/normal/depth refresh of the tracked points joins
+        # the keyframe's single attrs pass at the fuse merge
+        self._attrs_pending.extend(int(p) for p in frame.point[tracked])
         covis = st.covisibility()
         st.update_spanning_tree(kf, covis[kf])
         if self.kfdb is not None:
             self.kfdb.add(kf, st.kf_desc[kf], st.kf_feat_valid[kf])
+        self.dmap.sync_keyframe(st, kf)
         return kf
 
     # ------------------------------------------------------------------
@@ -174,20 +87,52 @@ class LocalMapper:
     # runs all stages synchronously (deterministic default) or spreads them
     # across subsequent frames (cfg.async_mapping) — the TPU-native
     # equivalent of the reference's mapper thread lagging the tracker
-    # (LocalMapping::Run polls its queue at 5 Hz, LocalMapping.cc:52-127)
-    STAGES = ("cull_points", "triangulate", "fuse", "ba", "cull_kf")
+    # (LocalMapping::Run polls its queue at 5 Hz, LocalMapping.cc:52-127).
+    # The heavy stages are split into a device DISPATCH half ("*_d") and a
+    # host MERGE half ("*_m"): the System drains the dispatch at one frame
+    # and the merge at the next, so the device kernels + transfers overlap
+    # the interleaved tracking instead of being waited on synchronously.
+    STAGES = ("cull_points", "triangulate_d", "triangulate_m",
+              "fuse_d", "fuse_m", "ba_d", "ba_m", "cull_kf")
+    DISPATCH_STAGES = ("triangulate_d", "fuse_d", "ba_d")
 
     def run_stage(self, kf: int, stage: str):
+        from ..utils.tracing import get_tracer
+
+        # apply the previous slot's deferred attrs writeback first — its
+        # device compute overlapped the interleaved tracking
+        self.drain_attrs()
+        with get_tracer().stage(f"map_{stage}"):
+            self._run_stage(kf, stage)
+
+    def drain_attrs(self):
+        """Apply a deferred attrs computation (one pull + host writeback +
+        mirror sync)."""
+        pending = self._attrs_inflight
+        self._attrs_inflight = None
+        if pending is not None:
+            ids = self.map.apply_point_attributes(pending)
+            self.dmap.sync_points(self.map, ids)
+
+    def _run_stage(self, kf: int, stage: str):
         if stage == "cull_points":
+            before = [mp for mp, _ in self.probation]
             self.probation = culling.cull_recent_points(
                 self.map, self.probation, self.map.next_kf_id - 1
             )
-        elif stage == "triangulate":
-            self.create_new_points(kf)
-        elif stage == "fuse":
-            self.fuse_neighbors(kf)
-        elif stage == "ba":
-            self.local_ba(kf)
+            self.dmap.sync_points(self.map, np.array(before, np.int64))
+        elif stage == "triangulate_d":
+            self.triangulate_dispatch(kf)
+        elif stage == "triangulate_m":
+            self.triangulate_merge(kf)
+        elif stage == "fuse_d":
+            self.fuse_dispatch(kf)
+        elif stage == "fuse_m":
+            self.fuse_merge(kf)
+        elif stage == "ba_d":
+            self.ba_dispatch(kf)
+        elif stage == "ba_m":
+            self.ba_merge(kf)
         elif stage == "cull_kf":
             self.cull_keyframes(kf)
         else:  # pragma: no cover
@@ -223,8 +168,18 @@ class LocalMapper:
         xc = self.map.mp_xyz[pts] @ self.map.kf_R[kf].T + self.map.kf_t[kf]
         return float(np.median(xc[:, 2]))
 
-    def create_new_points(self, kf: int, max_neighbors: int = TRI_NEIGHBORS):
+    def create_new_points(self, kf: int):
+        """Synchronous triangulation (dispatch + merge back to back)."""
+        self.triangulate_dispatch(kf)
+        self.triangulate_merge(kf)
+
+    def triangulate_dispatch(self, kf: int, max_neighbors: int = TRI_NEIGHBORS):
+        """Device half of CreateNewMapPoints: neighbor selection on host,
+        the epipolar search + DLT + gates dispatched as one kernel. The
+        result stays on device until the merge stage (next frame) so the
+        transfer + compute overlap the interleaved tracking."""
         st, cfg = self.map, self.cfg
+        self._tri_pending = None
         covis = st.covisibility()
         row = covis[kf].copy()
         row[kf] = 0
@@ -251,23 +206,33 @@ class LocalMapper:
         B = TRI_NEIGHBORS
         nb = (active + [active[0]] * B)[:B]
         sel = np.array(nb)
-        valids2 = np.zeros((B, st.n_feat), bool)
-        valids2[: len(active)] = st.kf_feat_valid[sel[: len(active)]]
 
-        ok, idx, xw = _tri_batch(
-            st.kf_desc[kf], st.kf_xy[kf],
-            st.kf_angle[kf], st.kf_level[kf],
-            st.kf_point[kf] >= 0, st.kf_feat_valid[kf],
-            R1, t1,
-            st.kf_desc[sel], st.kf_xy[sel],
-            st.kf_angle[sel], st.kf_level[sel],
-            st.kf_point[sel] >= 0, valids2,
-            st.kf_R[sel], st.kf_t[sel],
+        dm = self.dmap
+        active_mask = np.zeros((B, 1), bool)
+        active_mask[: len(active)] = True
+        outs = tri_kernel(
+            dm.kf_desc, dm.kf_xy, dm.kf_angle, dm.kf_level,
+            dm.kf_feat_valid, dm.kf_R, dm.kf_t,
+            np.array([kf], np.int32), sel.astype(np.int32),
+            st.kf_point[kf] >= 0,
+            st.kf_point[sel] >= 0,
+            np.broadcast_to(active_mask, (B, st.n_feat)).copy(),
             cfg.K4, cfg.sigma2, cfg.scale_factors,
         )
-        ok = np.asarray(ok)
-        idx = np.asarray(idx)
-        xw = np.asarray(xw)
+        self._tri_pending = (kf, active, outs)
+
+    def triangulate_merge(self, kf: int):
+        """Host half: claim features, allocate points, wire observations.
+        New-point attributes are computed ONCE per keyframe, at the fuse
+        merge (the next consumer of the descriptors)."""
+        st, cfg = self.map, self.cfg
+        if self._tri_pending is None or self._tri_pending[0] != kf:
+            return
+        _, active, outs = self._tri_pending
+        self._tri_pending = None
+        if not st.kf_valid[kf]:
+            return
+        ok, idx, xw = (np.asarray(o) for o in outs)
 
         # sequential claim: a feature triangulated against an earlier (more
         # covisible) neighbor is excluded from later ones, mirroring the
@@ -277,6 +242,8 @@ class LocalMapper:
         from ..native import add_observations_native
 
         for b, kn in enumerate(active):
+            if not st.kf_valid[kn]:
+                continue
             feats1 = np.nonzero(ok[b] & ~claimed)[0]
             if len(feats1) == 0:
                 continue
@@ -301,14 +268,45 @@ class LocalMapper:
             claimed[feats1] = True
             new_ids.append(ids)
         if new_ids:
-            st.update_point_attributes(np.concatenate(new_ids), cfg.scale_factors)
+            all_new = np.concatenate(new_ids)
+            # provisional attributes from the creating observation (the
+            # reference's initial UpdateNormalAndDepth, MapPoint.cc:273-312
+            # with a single observation): cheap host math so the tracker
+            # sees the new points IMMEDIATELY; the full multi-observation
+            # attrs pass runs once per keyframe at the fuse merge
+            O1 = -st.kf_R[kf].T @ st.kf_t[kf]
+            d = st.mp_xyz[all_new] - O1
+            dist = np.linalg.norm(d, axis=1)
+            st.mp_normal[all_new] = d / np.maximum(dist[:, None], 1e-12)
+            feats = np.argmax(
+                st.kf_point[kf][None, :] == all_new[:, None], axis=1)
+            lv = np.clip(st.kf_level[kf][feats], 0, cfg.n_levels - 1)
+            dmax = dist * cfg.scale_factors[lv]
+            st.mp_max_dist[all_new] = dmax
+            st.mp_min_dist[all_new] = dmax / cfg.scale_factors[-1]
+            self._attrs_pending.extend(int(i) for i in all_new)
+            self.dmap.sync_points(st, all_new)
 
     # ------------------------------------------------------------------
     # duplicate fusion (SearchInNeighbors :395-472)
     # ------------------------------------------------------------------
 
     def fuse_neighbors(self, kf: int, n_neighbors: int = 20):
+        """Synchronous fusion (dispatch + merge back to back)."""
+        self.fuse_dispatch(kf, n_neighbors)
+        self.fuse_merge(kf)
+
+    def fuse_dispatch(self, kf: int, n_neighbors: int = 20):
+        """Device half of SearchInNeighbors: BOTH projection directions
+        (current KF's points into the ring, the ring's points into the
+        current KF) as ONE (2T,)-row kernel call whose result stays on
+        device until the merge stage. The reference interleaves direction
+        2's search with direction 1's merges (SearchInNeighbors :421-470);
+        batching both against the pre-fuse snapshot can miss a duplicate
+        pair for one round — the next keyframe's fuse catches it.
+        """
         st, cfg = self.map, self.cfg
+        self._fuse_pending = None
         covis = st.covisibility()
         row = covis[kf].copy()
         row[kf] = 0
@@ -333,50 +331,80 @@ class LocalMapper:
         sel = np.array((targets + [targets[0]] * T)[:T])
         n_act = len(targets)
 
-        def point_rows(kfs):
-            """Per-row query point data from each row's KF point slots."""
-            q = st.kf_point[kfs]                       # (T, F)
-            mpid = np.clip(q, 0, st.max_mp - 1)
-            valid = (q >= 0) & st.mp_valid[mpid]
-            return (q, st.mp_desc[mpid], st.mp_xyz[mpid],
-                    st.mp_min_dist[mpid], st.mp_max_dist[mpid], valid)
-
-        kf_row = np.full(T, kf)
-        # direction 1: current KF's points into each target
-        q1, d1, x1, mn1, mx1, v1 = point_rows(kf_row)
-        v1[n_act:] = False
-        m1_mask, m1_idx = self._run_fuse_batch(d1, x1, mn1, mx1, v1, sel)
-        for i in range(n_act):
-            self._merge_fuse(q1[i], int(sel[i]), m1_mask[i], m1_idx[i])
-        # direction 2: each target's points into the current KF — queries
-        # built AFTER direction 1's merges so replaced points query with
-        # their merged descriptor/position (the reference interleaves
-        # search and merge, SearchInNeighbors :421-470)
-        q2, d2, x2, mn2, mx2, v2 = point_rows(sel)
-        v2[n_act:] = False
-        m2_mask, m2_idx = self._run_fuse_batch(d2, x2, mn2, mx2, v2, kf_row)
-        for i in range(n_act):
-            self._merge_fuse(q2[i], kf, m2_mask[i], m2_idx[i])
-        # refresh attributes of the current KF's points
-        pts = st.kf_point[kf]
-        st.update_point_attributes(np.unique(pts[pts >= 0]), cfg.scale_factors)
-
-    def _run_fuse_batch(self, q_desc, q_xyz, q_min, q_max, q_valid, dst_kfs):
-        st, cfg = self.map, self.cfg
-        m = _fuse_batch(
-            q_desc, q_xyz, q_min, q_max, q_valid,
-            st.kf_desc[dst_kfs], st.kf_xy[dst_kfs],
-            st.kf_level[dst_kfs], st.kf_feat_valid[dst_kfs],
-            st.kf_R[dst_kfs], st.kf_t[dst_kfs],
-            cfg.K4, cfg.scale_factors,
+        dm = self.dmap
+        row_act = np.zeros((2 * T, 1), bool)
+        row_act[:n_act] = True
+        row_act[T:T + n_act] = True
+        row_valid = np.broadcast_to(row_act, (2 * T, st.n_feat)).copy()
+        kf_row = np.full(T, kf, np.int32)
+        # rows 0..T-1: current KF's points into each target;
+        # rows T..2T-1: each target's points into the current KF
+        q = np.concatenate([
+            np.broadcast_to(st.kf_point[kf], (T, st.n_feat)),
+            st.kf_point[sel],
+        ]).astype(np.int32)
+        dst = np.concatenate([sel.astype(np.int32), kf_row])
+        outs = fuse_kernel(
+            dm.kf_desc, dm.kf_xy, dm.kf_level, dm.kf_feat_valid,
+            dm.kf_R, dm.kf_t, dm.mp_xyz, dm.mp_desc, dm.mp_min_dist,
+            dm.mp_max_dist, dm.mp_valid,
+            q, row_valid, dst, cfg.K4, cfg.scale_factors,
         )
-        return np.asarray(m.mask), np.asarray(m.idx)
+        self._fuse_pending = (kf, sel, n_act, q, outs)
 
-    def _merge_fuse(self, q_ids, dst_kf: int, mask, idx):
+    def fuse_merge(self, kf: int):
+        """Host half: merge bookkeeping + the keyframe's ONE attrs pass
+        (descriptor/normal/depth refresh over tracked + new + fused points
+        — folding the per-stage refreshes of insert/triangulate/fuse into
+        a single device call; the reference recomputes them at each of
+        those moments, MapPoint.cc:185-312, with identical end state)."""
+        st, cfg = self.map, self.cfg
+        if self._fuse_pending is None or self._fuse_pending[0] != kf:
+            self._flush_attrs(kf)
+            return
+        _, sel, n_act, q, outs = self._fuse_pending
+        self._fuse_pending = None
+        mask, idx = (np.asarray(o) for o in outs)
+        T = FUSE_TARGETS
+        touched: list[int] = []
+        if st.kf_valid[kf]:
+            for i in range(n_act):
+                if st.kf_valid[sel[i]]:
+                    touched.extend(
+                        self._merge_fuse(q[i], int(sel[i]), mask[i], idx[i]))
+            for i in range(n_act):
+                touched.extend(
+                    self._merge_fuse(q[T + i], kf, mask[T + i], idx[T + i]))
+        self._flush_attrs(kf, touched)
+
+    def _flush_attrs(self, kf: int, touched=()):
+        """The per-keyframe attrs pass: one device call over the union of
+        the KF's live points, the points created this round, and fuse-
+        touched points."""
+        st, cfg = self.map, self.cfg
+        pts = st.kf_point[kf] if st.kf_valid[kf] else np.zeros(0, np.int64)
+        live = np.unique(pts[pts >= 0]) if len(pts) else pts
+        ids = np.unique(np.concatenate([
+            np.asarray(live, np.int64),
+            np.array(self._attrs_pending, np.int64),
+            np.array(list(touched), np.int64),
+        ]))
+        self._attrs_pending = []
+        ids = ids[(ids >= 0) & st.mp_valid[np.clip(ids, 0, st.max_mp - 1)]]
+        if len(ids) == 0:
+            return
+        # dispatch now, apply at the next mapping slot (drain_attrs): the
+        # device compute + pull overlap the interleaved tracking
+        self._attrs_inflight = st.update_point_attributes_async(
+            ids, cfg.scale_factors)
+
+    def _merge_fuse(self, q_ids, dst_kf: int, mask, idx) -> list[int]:
         """Merge bookkeeping after a fuse search (ORBmatcher.cc:1083-1091).
         The batched searches all saw the pre-fuse map snapshot, so stale
-        rows (point already replaced by an earlier merge) are re-checked."""
+        rows (point already replaced by an earlier merge) are re-checked.
+        Returns the touched map-point ids (for the device-mirror sync)."""
         st = self.map
+        touched = []
         for f_src in np.nonzero(mask)[0]:
             mp = int(q_ids[f_src])
             if mp < 0 or not st.mp_valid[mp]:
@@ -391,8 +419,11 @@ class LocalMapper:
                     st.replace_point(mp, existing)
                 else:
                     st.replace_point(existing, mp)
+                touched.extend((mp, existing))
             else:
                 st.add_observation(mp, dst_kf, f_dst)
+                touched.append(mp)
+        return touched
 
     # ------------------------------------------------------------------
     # local bundle adjustment (Optimizer::LocalBundleAdjustment :287-536)
@@ -456,6 +487,8 @@ class LocalMapper:
         obs_uv = np.zeros((O, 2), np.float32)
         obs_w = np.ones(O, np.float32)
         obs_valid = np.zeros(O, bool)
+        obs_feat = np.zeros(O, np.int32)
+        obs_srckf = np.zeros(O, np.int32)
         kf_index_dense = np.full(st.max_kf, -1, np.int32)
         for k, i in kf_index.items():
             kf_index_dense[k] = i
@@ -467,6 +500,8 @@ class LocalMapper:
             n = len(okf)
             obs_kf[:n] = okf
             obs_pt[:n] = opt
+            obs_feat[:n] = ofe
+            obs_srckf[:n] = osk
             obs_uv[:n] = st.kf_xy[osk, ofe]
             lv = np.clip(st.kf_level[osk, ofe], 0, cfg.n_levels - 1)
             obs_w[:n] = cfg.inv_sigma2[lv]
@@ -497,27 +532,60 @@ class LocalMapper:
             obs_uv=obs_uv, obs_w=obs_w,
             obs_valid=obs_valid, K4=cfg.K4,
         )
+        # index arrays for the mirror kernel (obs pixels/weights gathered
+        # on device instead of shipping obs_uv/obs_w)
+        self._last_obs_idx = (obs_feat, obs_srckf)
         return prob, all_kfs, pts, obs_src
 
     def local_ba(self, kf: int):
+        """Synchronous local BA (dispatch + merge back to back)."""
+        self.ba_dispatch(kf)
+        self.ba_merge(kf)
+
+    def ba_dispatch(self, kf: int):
+        """Device half: assemble the problem (host indices), dispatch the
+        two-stage LM; the result stays on device until the merge."""
         st = self.map
+        self._ba_pending = None
         prob, all_kfs, pts, obs_src = self.build_local_ba_problem(kf)
         if len(obs_src) < 20:
             return
-        # the whole fixed-shape problem ships as ONE host->device transfer
-        res = _two_stage_packed(*prob)
-        # writeback (Optimizer.cc:504-534)
-        kf_R = np.asarray(res.kf_R)
-        kf_t = np.asarray(res.kf_t)
+        obs_feat, obs_srckf = self._last_obs_idx
+        dm = self.dmap
+        res = local_ba_kernel(
+            dm.kf_xy, dm.kf_level,
+            prob.kf_R, prob.kf_t, prob.kf_fixed, prob.points,
+            prob.point_valid, prob.obs_kf, prob.obs_pt, obs_feat,
+            obs_srckf, prob.obs_valid, prob.K4,
+            self.cfg.inv_sigma2.astype(np.float32),
+        )
+        # snapshot generations: observations/points may be culled by other
+        # stages before the merge lands — never write into a recycled slot
+        self._ba_pending = (kf, prob, all_kfs, pts, st.mp_gen[pts].copy(),
+                            obs_src, res)
+
+    def ba_merge(self, kf: int):
+        """Host half: pose/point writeback + outlier-observation erasure
+        (Optimizer.cc:453-534). The reference does NOT recompute point
+        attributes after local BA — neither do we."""
+        st = self.map
+        if self._ba_pending is None or self._ba_pending[0] != kf:
+            return
+        _, prob, all_kfs, pts, gens, obs_src, res = self._ba_pending
+        self._ba_pending = None
+        res = jax.tree.map(np.asarray, res)
+        kf_R = res.kf_R
+        kf_t = res.kf_t
         for i, k in enumerate(all_kfs):
-            if not bool(np.asarray(prob.kf_fixed)[i]):
+            if not bool(prob.kf_fixed[i]) and st.kf_valid[k]:
                 st.kf_R[k] = kf_R[i]
                 st.kf_t[k] = kf_t[i]
-        new_pts = np.asarray(res.points)
-        st.mp_xyz[pts] = new_pts[: len(pts)]
+        fresh = st.mp_gen[pts] == gens
+        st.mp_xyz[pts[fresh]] = res.points[: len(pts)][fresh]
         # erase outlier observations (:453-470 + :496-520)
-        out = np.asarray(res.obs_outlier)
+        out = res.obs_outlier
         for o, (p, k, f) in enumerate(obs_src):
-            if out[o]:
+            if out[o] and st.mp_gen[p] == gens[np.searchsorted(pts, p)]:
                 st.remove_observation(p, k)
-        st.update_point_attributes(pts[st.mp_valid[pts]], self.cfg.scale_factors)
+        self.dmap.sync_poses(st)
+        self.dmap.sync_points(st, pts[fresh])

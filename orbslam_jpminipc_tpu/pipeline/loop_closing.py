@@ -143,6 +143,19 @@ class LoopCloser:
             )
             if not bool(res.success):
                 continue
+            # SearchBySim3 enrichment (ORBmatcher.cc:1267-1440, called at
+            # LoopClosing.cc:336 with th=7.5): project each side's points
+            # through the RANSAC Sim3 into the other keyframe and keep the
+            # two-way agreements — OptimizeSim3 then runs on the enlarged
+            # match set, not just the original mutual-descriptor inliers
+            ransac_ok = pair_ok & np.asarray(res.inliers)
+            idx, pair_ok = self._search_by_sim3(
+                kf, cand, float(res.s12), np.asarray(res.R12),
+                np.asarray(res.t12), idx, ransac_ok,
+            )
+            p_l = st.kf_point[cand][idx]
+            x_l = st.mp_xyz[np.clip(p_l, 0, st.max_mp - 1)] @ st.kf_R[cand].T + st.kf_t[cand]
+            lev_l = np.clip(st.kf_level[cand][idx], 0, cfg.n_levels - 1)
             # refine (OptimizeSim3, >=20 inliers gate :340-352)
             opt = sim3_opt.optimize_sim3(
                 res.s12, res.R12, res.t12,
@@ -150,7 +163,7 @@ class LoopCloser:
                 jnp.array(st.kf_xy[kf]), jnp.array(st.kf_xy[cand][idx]),
                 jnp.array(cfg.inv_sigma2[lev_c].astype(np.float32)),
                 jnp.array(cfg.inv_sigma2[lev_l].astype(np.float32)),
-                jnp.array(pair_ok & np.asarray(res.inliers)), jnp.array(cfg.K4),
+                jnp.array(pair_ok), jnp.array(cfg.K4),
             )
             if int(opt.n_inliers) < 20:
                 continue
@@ -163,6 +176,64 @@ class LoopCloser:
                         np.asarray(opt.t12), loop_points, loop_point_ids)
         return (False, -1, 1.0, np.eye(3, dtype=np.float32),
                 np.zeros(3, np.float32), None, None)
+
+    def _search_by_sim3(self, kf1: int, kf2: int, s12, R12, t12,
+                        idx12: np.ndarray, matched1: np.ndarray,
+                        th: float = 7.5):
+        """Bidirectional Sim3-guided projection search
+        (ORBmatcher::SearchBySim3, src/ORBmatcher.cc:1267-1440).
+
+        idx12/matched1: current per-feature-of-kf1 match table into kf2.
+        Returns the enriched (idx12, pair_ok): two-way agreements between
+        unmatched point-bearing features are added to the match set.
+        """
+        st, cfg = self.map, self.cfg
+
+        def project_dir(src, dst, sR, t, q_skip):
+            """Project src's map points into dst through (sR, t) and match
+            against dst's point-bearing features."""
+            p = st.kf_point[src]
+            mpid = np.clip(p, 0, st.max_mp - 1)
+            valid_q = (p >= 0) & st.mp_valid[mpid] & ~q_skip
+            x_src = st.mp_xyz[mpid] @ st.kf_R[src].T + st.kf_t[src]
+            x_dst = x_src @ sR.T + t
+            z = x_dst[:, 2]
+            uv = np.stack(
+                [cfg.fx * x_dst[:, 0] / np.maximum(z, 1e-9) + cfg.cx,
+                 cfg.fy * x_dst[:, 1] / np.maximum(z, 1e-9) + cfg.cy], 1
+            ).astype(np.float32)
+            valid_q &= z > 0
+            dist = np.linalg.norm(x_dst, axis=1)
+            pred = predict_scale_level(
+                dist, st.mp_max_dist[mpid], cfg.scale_factor, cfg.n_levels)
+            dst_p = st.kf_point[dst]
+            dst_valid = st.kf_feat_valid[dst] & (dst_p >= 0) & st.mp_valid[
+                np.clip(dst_p, 0, st.max_mp - 1)]
+            m = _search_proj(
+                jnp.array(st.mp_desc[mpid]), jnp.array(uv), jnp.array(pred),
+                jnp.array(valid_q),
+                jnp.array(st.kf_desc[dst]), jnp.array(st.kf_xy[dst]),
+                jnp.array(st.kf_level[dst]), jnp.array(dst_valid),
+                jnp.array(cfg.scale_factors),
+                radius=th, max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
+            )
+            return np.asarray(m.idx), np.asarray(m.mask)
+
+        # skip features already matched (vbAlreadyMatched, :1301-1312)
+        skip2 = np.zeros(st.n_feat, bool)
+        skip2[idx12[matched1]] = True
+        sR21 = (1.0 / s12) * R12.T
+        t21 = -sR21 @ t12
+        sR12 = s12 * R12
+        i12, ok12 = project_dir(kf1, kf2, sR21, t21, matched1)
+        i21, ok21 = project_dir(kf2, kf1, sR12, t12, skip2)
+        # two-way agreement (:1417-1437)
+        agree = ok12.copy()
+        back = np.where(ok12, i21[np.clip(i12, 0, st.n_feat - 1)], -1)
+        back_ok = np.where(ok12, ok21[np.clip(i12, 0, st.n_feat - 1)], False)
+        agree &= back_ok & (back == np.arange(st.n_feat))
+        idx_new = np.where(agree & ~matched1, i12, idx12)
+        return idx_new, matched1 | (agree & ~matched1)
 
     def _guided_matches(self, kf: int, loop_kf: int, s_cl, R_cl, t_cl):
         """Project the loop KF neighborhood's map points into the current
@@ -199,7 +270,8 @@ class LoopCloser:
             jnp.array(st.kf_desc[kf]), jnp.array(st.kf_xy[kf]),
             jnp.array(st.kf_level[kf]), jnp.array(st.kf_feat_valid[kf]),
             jnp.array(cfg.scale_factors),
-            radius=7.5, max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
+            radius=10.0,  # th=10 at this step (LoopClosing.cc:389)
+            max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
         )
         mask = np.asarray(m.mask)
         idx = np.asarray(m.idx)
@@ -478,7 +550,20 @@ class LoopCloser:
             ),
             e_valid=jnp.array(np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])),
         )
-        res = essential_graph.optimize_essential_graph(prob, iterations=20)
+        devices = jax.devices()
+        if len(devices) > 1 and cfg.distributed_gba:
+            # edge-sharded multi-device pose graph (SURVEY §2.3 scaling axis)
+            from jax.sharding import Mesh
+            from ..parallel import (
+                shard_essential_graph, sharded_optimize_essential_graph,
+            )
+
+            res = sharded_optimize_essential_graph(
+                shard_essential_graph(prob, len(devices)),
+                Mesh(np.array(devices), ("edges",)), iterations=20,
+            )
+        else:
+            res = essential_graph.optimize_essential_graph(prob, iterations=20)
         s_new = np.asarray(res.s)
         R_new = np.asarray(res.R)
         t_new = np.asarray(res.t)

@@ -41,6 +41,7 @@ class Slam:
         )
         self.tracker.on_initialized = self._create_initial_map
         self.tracker.on_new_keyframe = self._on_new_keyframe
+        self.tracker.dmap = self.mapper.dmap
         if cfg.async_mapping:
             self.tracker.mapper_busy = lambda: bool(self.pending)
         self.frame_count = 0
@@ -95,8 +96,13 @@ class Slam:
             # reference mapper thread's cadence (LocalMapping::Run)
             with self.tracer.stage("mapping"):
                 for _ in range(2):
-                    if self.pending:
-                        self._run_pending_stage()
+                    if not self.pending:
+                        break
+                    stage = self._run_pending_stage()
+                    if stage in LocalMapper.DISPATCH_STAGES:
+                        # device work in flight: its merge runs next frame,
+                        # overlapped with the interleaved tracking
+                        break
             # mapping stages mutate the map: refresh the device-resident
             # tracking slice (one async upload) so the fused path sees it
             tr.refresh_fused_slice()
@@ -106,6 +112,14 @@ class Slam:
         if state == TrackState.LOST and 0 < n_kf <= 5:
             self.reset()
         return state, frame
+
+    def finish(self):
+        """Drain all pending mapping/loop stages (end of sequence — the
+        reference joins its mapper/loop threads on shutdown, main.cc:222)."""
+        while self.pending:
+            self._run_pending_stage()
+        self.mapper.drain_attrs()
+        self.tracker.refresh_fused_slice()
 
     def reset(self):
         """Full reset (Tracking::Reset, Tracking.cc:1066-1103)."""
@@ -123,6 +137,16 @@ class Slam:
             self.tracker.fused.invalidate()
         self.mapper.map = self.map
         self.mapper.probation = []
+        self.mapper._tri_pending = None
+        self.mapper._fuse_pending = None
+        self.mapper._ba_pending = None
+        self.mapper._attrs_pending = []
+        self.mapper._attrs_inflight = None
+        from ..map.device_map import DeviceMap
+
+        self.mapper.dmap = DeviceMap(self.map.max_kf, self.map.n_feat,
+                                     self.map.max_mp)
+        self.tracker.dmap = self.mapper.dmap
         self.pending = []
         if self.loop_closer is not None:
             self.loop_closer.map = self.map
@@ -180,6 +204,9 @@ class Slam:
             self.kfdb.add(kf1, st.kf_desc[kf1], st.kf_feat_valid[kf1])
         covis = st.covisibility()
         st.update_spanning_tree(kf1, covis[kf1])
+        self.mapper.dmap.sync_keyframe(st, kf0)
+        self.mapper.dmap.sync_keyframe(st, kf1)
+        self.mapper.dmap.sync_points(st, ids)
 
         # frame bookkeeping -> WORKING
         f1.point[:] = -1
@@ -245,8 +272,11 @@ class Slam:
             self.tracker.ref_kf = kf
             self.tracker.refresh_fused_slice()
             for _, stages in self.pending:
-                if "ba" in stages:
-                    stages.remove("ba")
+                # a not-yet-dispatched local BA is cancelled by the newer
+                # keyframe (InterruptBA semantics)
+                if "ba_d" in stages:
+                    stages.remove("ba_d")
+                    stages.remove("ba_m")
             self.pending.append((kf, list(self.mapper.STAGES) + ["loop"]))
             return
         with self.tracer.stage("mapping"):
@@ -255,17 +285,21 @@ class Slam:
         self._loop_close(kf)
         self.tracker.refresh_fused_slice()
 
-    def _run_pending_stage(self):
+    def _run_pending_stage(self) -> str:
         kf, stages = self.pending[0]
         stage = stages.pop(0)
         if not stages:
             self.pending.pop(0)
         if not self.map.kf_valid[kf]:
-            return  # culled while queued
+            return stage  # culled while queued
         if stage == "loop":
+            # loop detection/correction reads host mp attributes: flush any
+            # deferred attrs writeback first
+            self.mapper.drain_attrs()
             self._loop_close(kf)
         else:
             self.mapper.run_stage(kf, stage)
+        return stage
 
     def _loop_close(self, kf: int):
         if self.loop_closer is None:
@@ -275,6 +309,8 @@ class Slam:
         if closed:
             self.n_loops_closed += 1
             self.tracer.log("loop_closed", kf=int(kf))
+            # the correction rewrote poses and points wholesale
+            self.mapper.dmap.sync_all(self.map)
             self.tracker.force_relocalization()
             if self.cfg.post_loop_gba:
                 with self.tracer.stage("global_ba"):
@@ -343,18 +379,37 @@ class Slam:
         ), n
 
     def global_ba(self, iterations: int | None = None):
-        """Run the scalable implicit-Schur global BA and write back poses
-        and points. The reference's global variant does not erase outlier
-        observations (only local BA does, Optimizer.cc:453-470)."""
+        """Run global BA and write back poses and points. On a multi-device
+        mesh the map-partitioned solver runs (points/observations sharded,
+        reduced camera system combined by one psum over ICI — SURVEY §2.3's
+        scaling axis); single-device falls back to the implicit-Schur PCG.
+        The reference's global variant does not erase outlier observations
+        (only local BA does, Optimizer.cc:453-470)."""
+        import jax
+
         st, cfg = self.map, self.cfg
         prob, n_obs = self.build_global_ba_problem()
         if n_obs < 20:
             return
-        res = gba.bundle_adjust_large(
-            prob,
-            iterations=cfg.gba_iterations if iterations is None else iterations,
-            cg_iters=cfg.gba_cg_iters,
-        )
+        iters = cfg.gba_iterations if iterations is None else iterations
+        devices = jax.devices()
+        if len(devices) > 1 and cfg.distributed_gba:
+            from jax.sharding import Mesh
+            from ..parallel import shard_ba_problem, sharded_bundle_adjust
+
+            sprob = shard_ba_problem(prob, len(devices))
+            mesh = Mesh(np.array(devices), ("points",))
+            R, t, pts_sh, _chi2 = sharded_bundle_adjust(
+                sprob, mesh, iterations=iters)
+            res = ba.BAResult(
+                kf_R=R, kf_t=t,
+                points=np.asarray(pts_sh).reshape(-1, 3)[: st.max_mp],
+                chi2=_chi2, obs_outlier=None,
+            )
+        else:
+            res = gba.bundle_adjust_large(
+                prob, iterations=iters, cg_iters=cfg.gba_cg_iters,
+            )
         kf_R = np.asarray(res.kf_R)
         kf_t = np.asarray(res.kf_t)
         fixed = np.asarray(prob.kf_fixed)
@@ -365,6 +420,7 @@ class Slam:
         st.update_point_attributes(
             np.nonzero(st.mp_valid)[0], cfg.scale_factors
         )
+        self.mapper.dmap.sync_all(st)
 
     # ------------------------------------------------------------------
 

@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--save-world", default=None)
     ap.add_argument("--load-world", default=None)
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--realtime", action="store_true",
+                    help="consume frames against the camera clock (cfg.fps) "
+                         "and DROP late frames, like the reference's live "
+                         "image topic (src/Tracking.cc:166-189) — reports "
+                         "%%dropped alongside fps")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -70,12 +75,14 @@ def main(argv=None):
     else:
         import os
 
-        default_voc = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "data", "vocab_synthetic.npz"
-        )
+        data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+        # prefer the ORBvoc-style hierarchical vocabulary (64k words,
+        # vocab/train.py --tree) — the analogue of the reference's shipped
+        # ORBvoc.txt (main.cc:101); fall back to the flat 4k vocabulary
+        tree_voc = os.path.join(data_dir, "vocab_tree64k.npz")
+        flat_voc = os.path.join(data_dir, "vocab_synthetic.npz")
+        default_voc = tree_voc if os.path.exists(tree_voc) else flat_voc
         if os.path.exists(default_voc):
-            # pre-trained on real rBRIEF descriptors (vocab/train.py) — the
-            # analogue of the reference's shipped ORBvoc.txt (main.cc:101)
             vocab = load_vocabulary(default_voc)
         else:
             rng = np.random.default_rng(0)
@@ -91,21 +98,48 @@ def main(argv=None):
         print(f"resumed world: {slam.n_keyframes} KFs, {slam.n_points} points")
 
     n = min(args.frames, len(seq))
+    fps_clock = cfg.fps if cfg.fps > 0 else 30.0
+    dropped = 0
     t0 = time.time()
-    for i in range(n):
-        img, ts, _ = seq.get(i)
-        state, frame = slam.process(img, ts)
-        if i % 20 == 0:
-            print(
-                f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "
-                f"pts={slam.n_points} inliers={slam.tracker.n_inliers}",
-                file=sys.stderr,
-            )
-    wall = time.time() - t0
-    print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps), "
-          f"{slam.n_keyframes} KFs, {slam.n_points} points, "
-          f"{slam.n_loops_closed} loops closed")
+    if args.realtime:
+        # live-camera semantics: frame i becomes available at i/fps; if the
+        # system is still busy when several frames have arrived, only the
+        # NEWEST is processed and the rest are dropped (the reference's
+        # ros::TransportHints queue of depth 1, src/main.cc:169)
+        i = 0
+        done = 0
+        while i < n:
+            img, ts, _ = seq.get(i)
+            state, frame = slam.process(img, ts)
+            done += 1
+            if done % 20 == 0:
+                print(f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "
+                      f"pts={slam.n_points}", file=sys.stderr)
+            arrived = int((time.time() - t0) * fps_clock) + 1
+            nxt = min(max(i + 1, arrived), n)
+            dropped += nxt - (i + 1)
+            i = nxt
+        wall = time.time() - t0
+        print(f"realtime @{fps_clock:.0f}fps: processed {done}/{n} frames in "
+              f"{wall:.1f}s, dropped {dropped} ({100.0*dropped/max(n,1):.1f}%), "
+              f"{slam.n_keyframes} KFs, {slam.n_points} points, "
+              f"{slam.n_loops_closed} loops closed")
+    else:
+        for i in range(n):
+            img, ts, _ = seq.get(i)
+            state, frame = slam.process(img, ts)
+            if i % 20 == 0:
+                print(
+                    f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "
+                    f"pts={slam.n_points} inliers={slam.tracker.n_inliers}",
+                    file=sys.stderr,
+                )
+        wall = time.time() - t0
+        print(f"processed {n} frames in {wall:.1f}s ({n / wall:.1f} fps), "
+              f"{slam.n_keyframes} KFs, {slam.n_points} points, "
+              f"{slam.n_loops_closed} loops closed")
 
+    slam.finish()
     save_tum(args.out, slam.keyframe_trajectory())
     print(f"keyframe trajectory -> {args.out}")
 

@@ -56,7 +56,7 @@ def _lm_step(R, t, xw, uv, K4, w, H, b, lam):
     return R_new, t_new, delta
 
 
-@functools.partial(jax.jit, static_argnames=("use_huber_rounds",))
+@functools.partial(jax.jit, static_argnames=("use_huber_rounds", "n_rounds"))
 def optimize_pose(
     R0: jax.Array,
     t0: jax.Array,
@@ -66,8 +66,11 @@ def optimize_pose(
     valid: jax.Array,       # (N,) bool — has a map point match
     K4: jax.Array,
     use_huber_rounds: int = 2,
+    n_rounds: int = 4,
 ) -> PoseOptResult:
-    """4-round pose refinement with chi2 regating (Optimizer.cc:242-276)."""
+    """4-round pose refinement with chi2 regating (Optimizer.cc:242-276).
+    n_rounds < 4 runs a truncated schedule (provisional poses that a later
+    full optimization refines, e.g. the fused tracker's pass 1)."""
     inlier = valid
 
     def chi2_of(R, t):
@@ -78,7 +81,7 @@ def optimize_pose(
     delta2 = jnp.float32(5.991)
 
     R, t = R0, t0
-    for rnd in range(4):
+    for rnd in range(n_rounds):
         gate = _CHI2_GATES[rnd]
         use_huber = rnd < use_huber_rounds
 

@@ -41,6 +41,42 @@ def _unpack(buf: jax.Array, spec):
     return out
 
 
+def mirror_call(n_dev: int):
+    """Like packed_call, but the first `n_dev` arguments are already
+    device-resident arrays (a DeviceMap mirror) and pass straight through;
+    only the remaining host arrays ship, as ONE packed transfer."""
+    def deco(fn):
+        cache: dict = {}
+        _canon = {np.dtype(np.int64): np.int32,
+                  np.dtype(np.uint64): np.uint32,
+                  np.dtype(np.float64): np.float32}
+
+        def call(*args, **static):
+            dev = args[:n_dev]
+            host = [np.ascontiguousarray(
+                a.astype(_canon[a.dtype]) if getattr(a, "dtype", None) in _canon
+                else a
+            ) for a in map(np.asarray, args[n_dev:])]
+            spec = tuple((a.shape, a.dtype.str) for a in host)
+            key = (spec, tuple(sorted(static.items())))
+            wrapped = cache.get(key)
+            if wrapped is None:
+                @jax.jit
+                def wrapped(*dev_and_buf, spec=spec, static=dict(static)):
+                    *d, buf = dev_and_buf
+                    return fn(*d, *_unpack(buf, spec), **static)
+
+                cache[key] = wrapped
+            buf = (np.concatenate([h.view(np.uint8).reshape(-1) for h in host])
+                   if host else np.zeros(0, np.uint8))
+            return wrapped(*dev, jnp.asarray(buf))
+
+        call.__name__ = getattr(fn, "__name__", "mirror_call")
+        return call
+
+    return deco
+
+
 def packed_call(fn):
     """Wrap `fn(*arrays, **static_kwargs)` so all array arguments ship as
     ONE host->device transfer. `fn` must be jit-safe; a jitted wrapper is

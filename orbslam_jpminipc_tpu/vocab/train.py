@@ -43,14 +43,26 @@ def main(argv=None):
     ap.add_argument("--words", type=int, default=8192)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--tree", action="store_true",
+                    help="train a hierarchical (ORBvoc-style k-ary tree) "
+                         "vocabulary instead of a flat one")
+    ap.add_argument("--k", type=int, default=16, help="tree branching factor")
+    ap.add_argument("--depth", type=int, default=4, help="tree depth")
+    ap.add_argument("--seeds", type=int, default=8,
+                    help="number of synthetic scene seeds to render")
     ap.add_argument("--out", default=DEFAULT_OUT)
     args = ap.parse_args(argv)
 
     from .vocabulary import build_vocabulary, save_vocabulary
 
-    descs = collect_descriptors(args.frames)
-    print(f"training set: {len(descs)} descriptors")
-    vocab = build_vocabulary(descs, n_words=args.words, iters=args.iters)
+    descs = collect_descriptors(args.frames, seeds=tuple(range(args.seeds)))
+    print(f"training set: {len(descs)} descriptors", flush=True)
+    if args.tree:
+        from .tree import build_tree_vocabulary
+
+        vocab = build_tree_vocabulary(descs, k=args.k, depth=args.depth)
+    else:
+        vocab = build_vocabulary(descs, n_words=args.words, iters=args.iters)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     save_vocabulary(vocab, args.out)
     print(f"vocabulary ({vocab.n_words} words) -> {args.out}")

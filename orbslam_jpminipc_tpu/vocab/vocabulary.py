@@ -198,10 +198,36 @@ def load_dbow2_text(path: str) -> Vocabulary:
     return Vocabulary(words=jnp.array(words), idf=jnp.array(weights))
 
 
-def save_vocabulary(vocab: Vocabulary, path: str):
-    np.savez_compressed(path, words=np.asarray(vocab.words), idf=np.asarray(vocab.idf))
+def save_vocabulary(vocab, path: str):
+    """Save a flat Vocabulary or a TreeVocabulary (auto-detected on load)."""
+    from . import tree as vtree
+
+    if isinstance(vocab, vtree.TreeVocabulary):
+        np.savez_compressed(
+            path,
+            child_idx=np.asarray(vocab.child_idx),
+            node_desc=np.asarray(vocab.node_desc),
+            node_word=np.asarray(vocab.node_word),
+            word_weight=np.asarray(vocab.word_weight),
+            depth=np.int32(vocab.depth),
+        )
+    else:
+        np.savez_compressed(path, words=np.asarray(vocab.words),
+                            idf=np.asarray(vocab.idf))
 
 
-def load_vocabulary(path: str) -> Vocabulary:
+def load_vocabulary(path: str):
+    """Load a vocabulary npz; tree-format files (the ORBvoc-scale artifact)
+    yield a TreeVocabulary, flat files a Vocabulary."""
     z = np.load(path)
+    if "child_idx" in z:
+        from . import tree as vtree
+
+        return vtree.TreeVocabulary(
+            child_idx=jnp.array(z["child_idx"]),
+            node_desc=jnp.array(z["node_desc"]),
+            node_word=jnp.array(z["node_word"]),
+            word_weight=z["word_weight"].astype(np.float32),
+            depth=int(z["depth"]),
+        )
     return Vocabulary(words=jnp.array(z["words"]), idf=jnp.array(z["idf"]))

@@ -240,3 +240,47 @@ def test_covisible_candidates_are_excluded(scene):
     # database must return no loop candidates for it
     cands = kfdb.detect_loop_candidates(2, kfdb.bow_of(2), covis[2])
     assert 1 not in cands and 3 not in cands
+
+
+class TestOrbitLoopEndToEnd:
+    def test_orbit_closes_loop(self):
+        """Full-system loop closure on the canonical 360-degree orbit: the
+        start view leaves the frustum entirely and returns at the end
+        (VERDICT r02 #4). Asserts (a) the loop is detected+closed through
+        the real detection->Sim3->correction path and (b) the correction
+        does not degrade an already-accurate trajectory (with SO(3)-clean
+        tracking the synthetic drift is ~1 cm, so "reduces ATE" is covered
+        by the drift-chain test above; here the bar is end-to-end health).
+        """
+        import os
+
+        from orbslam_jpminipc_tpu.io.dataset import SyntheticSequence
+        from orbslam_jpminipc_tpu.io.trajectory import ate_rmse
+        from orbslam_jpminipc_tpu.pipeline.system import Slam
+        from orbslam_jpminipc_tpu.vocab.vocabulary import load_vocabulary
+
+        cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                         k1=0.0, k2=0.0, p1=0.0, p2=0.0, n_features=1000)
+        voc = load_vocabulary(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "orbslam_jpminipc_tpu", "data", "vocab_synthetic.npz"))
+        n = 300
+        seq = SyntheticSequence(n_frames=n, trajectory="orbit", seed=0)
+        slam = Slam(cfg, vocab=voc)
+        for i in range(n):
+            img, ts, _ = seq.get(i)
+            slam.process(img, ts)
+        slam.finish()  # drain the tail keyframes' mapping + loop stages
+        assert slam.n_loops_closed >= 1, "orbit loop was not closed"
+        gt = {round(float(seq.timestamps[i]), 6): seq.poses[i] for i in range(n)}
+        est, gtc = [], []
+        for ts, R, t in slam.trajectory:
+            if round(ts, 6) in gt:
+                Rg, tg = gt[round(ts, 6)]
+                est.append(-R.T @ t)
+                gtc.append(-Rg.T @ tg)
+        assert len(est) > 0.9 * n, f"tracked only {len(est)}/{n}"
+        ate = ate_rmse(np.stack(est), np.stack(gtc))
+        # full 360-degree sweep, ~1.4 m extent: stay under 4% of extent
+        # after the loop correction rewrites every pose
+        assert ate < 0.05, ate

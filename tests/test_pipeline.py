@@ -80,7 +80,7 @@ class TestEndToEnd:
         assert slam.n_points > 200
         assert ate < 0.03, ate
         # backpressure (mbAcceptKeyFrames parity) keeps the queue bounded
-        assert sum(len(s) for _, s in slam.pending) <= 12
+        assert sum(len(s) for _, s in slam.pending) <= 2 * len(slam.mapper.STAGES) + 2
 
     def test_no_vocab_runs(self):
         # note: the synthetic trajectory is phase-parameterized, so fewer

@@ -44,6 +44,51 @@ class TestTreeDescent:
         np.testing.assert_array_equal(w1, w2)
         assert (w1 >= 0).all() and (w1 < v.n_words).all()
 
+    def test_scale_1m_words_orbvoc_shape(self, rng):
+        """ORBvoc-scale: k=10, L=6 => 1e6 leaf words, 36 MB of node
+        descriptors (TemplatedVocabulary.h:55-56). Transform of a full
+        frame (1024 descriptors) and KeyFrameDatabase add/query must run
+        at this scale — the level-wise descent touches O(N*k*L) nodes,
+        not O(N*W)."""
+        import time
+
+        k, depth = 10, 6
+        n_nodes = sum(k ** d for d in range(depth + 1))  # 1,111,111
+        node_desc = rng.integers(0, 256, (n_nodes, 32)).astype(np.uint8)
+        child_idx = np.full((n_nodes, k), -1, np.int32)
+        node_word = np.full(n_nodes, -1, np.int32)
+        first_leaf = sum(k ** d for d in range(depth))
+        for n in range(first_leaf):
+            child_idx[n] = np.arange(k * n + 1, k * n + k + 1)
+        node_word[first_leaf:] = np.arange(n_nodes - first_leaf)
+        W = n_nodes - first_leaf
+        assert W == 1_000_000
+        v = vtree.TreeVocabulary(
+            child_idx=jnp.array(child_idx),
+            node_desc=jnp.array(node_desc),
+            node_word=jnp.array(node_word),
+            word_weight=np.ones(W, np.float32),
+            depth=depth,
+        )
+        q = rng.integers(0, 256, (1024, 32)).astype(np.uint8)
+        wid = np.asarray(vtree.word_ids(v, jnp.array(q)))  # compile + run
+        assert (wid >= 0).all() and (wid < W).all()
+        t0 = time.perf_counter()
+        wid2 = np.asarray(vtree.word_ids(v, jnp.array(q)))
+        dt = (time.perf_counter() - t0) * 1e3
+        np.testing.assert_array_equal(wid, wid2)
+        # steady-state transform budget: 50 ms on TPU; CPU CI headroom 500
+        assert dt < 500.0, f"transform took {dt:.1f} ms at 1e6 words"
+        # KeyFrameDatabase end-to-end at ORBvoc scale
+        db = KeyFrameDatabase(v, max_kf=8)
+        valid = np.ones(1024, bool)
+        db.add(0, q, valid)
+        db.add(1, corrupt(rng, q, 12), valid)
+        db.set_covisibility(np.zeros((8, 8), np.int32))
+        qb = db.query_bow(corrupt(rng, q, 6), valid)
+        cands = db.detect_reloc_candidates(qb)
+        assert 0 in cands or 1 in cands
+
     def test_scale_100k_words(self, rng):
         """Synthetic perfect 10-ary tree, depth 5 -> 100k leaf words."""
         k, depth = 10, 5

@@ -1,0 +1,127 @@
+"""Multi-device scaling measurement: sharded GBA + pose graph at capacity.
+
+Runs the map-partitioned bundle adjustment and the edge-sharded essential
+graph on 1/2/4/8 devices of a virtual CPU mesh (the same shard_map
+programs run unchanged on a real TPU slice over ICI) and records
+ms/iteration + single-device parity. Output: SCALING_r03.json.
+
+Usage: python tools/scaling.py  (forces JAX_PLATFORMS=cpu, 8 host devices)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+
+def make_gba_problem(K=256, P=16384, O=65536, seed=2):
+    import jax.numpy as jnp
+    from orbslam_jpminipc_tpu.solvers.ba import BAProblem
+
+    rng = np.random.default_rng(seed)
+    return BAProblem(
+        kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        kf_t=jnp.array(rng.normal(0, 0.1, (K, 3)).astype(np.float32)),
+        kf_fixed=jnp.array([True] + [False] * (K - 1)),
+        points=jnp.array(np.stack([
+            rng.uniform(-3, 3, P), rng.uniform(-3, 3, P), rng.uniform(2, 8, P)
+        ], 1).astype(np.float32)),
+        point_valid=jnp.ones(P, bool),
+        obs_kf=jnp.array(rng.integers(0, K, O).astype(np.int32)),
+        obs_pt=jnp.array(rng.integers(0, P, O).astype(np.int32)),
+        obs_uv=jnp.array(rng.uniform(0, 640, (O, 2)).astype(np.float32)),
+        obs_w=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        K4=jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32),
+    )
+
+
+def make_eg_problem(K=256, E=2048, seed=3):
+    import jax.numpy as jnp
+    from orbslam_jpminipc_tpu.solvers.essential_graph import EssentialGraphProblem
+
+    rng = np.random.default_rng(seed)
+    t_true = np.cumsum(rng.normal(0, 0.1, (K, 3)), 0).astype(np.float32)
+    e_i = rng.integers(0, K, E).astype(np.int32)
+    e_j = np.minimum(e_i + 1 + rng.integers(0, 8, E), K - 1).astype(np.int32)
+    return EssentialGraphProblem(
+        s=jnp.ones(K, jnp.float32),
+        R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        t=jnp.array(t_true + rng.normal(0, 0.05, (K, 3)).astype(np.float32)),
+        fixed=jnp.array([True] + [False] * (K - 1)),
+        e_i=jnp.array(e_i), e_j=jnp.array(e_j),
+        e_s=jnp.ones(E, jnp.float32),
+        e_R=jnp.tile(jnp.eye(3)[None], (E, 1, 1)),
+        e_t=jnp.array((t_true[e_j] - t_true[e_i]).astype(np.float32)),
+        e_valid=jnp.array(e_i != e_j),
+    )
+
+
+def time_call(fn, reps=3):
+    import jax
+
+    jax.block_until_ready(fn())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def main():
+    import jax
+    from jax.sharding import Mesh
+    from orbslam_jpminipc_tpu.parallel import (
+        shard_ba_problem, sharded_bundle_adjust,
+        shard_essential_graph, sharded_optimize_essential_graph,
+    )
+
+    devs = jax.devices()
+    print(f"{len(devs)} virtual devices", file=sys.stderr)
+    gprob = make_gba_problem()
+    eprob = make_eg_problem()
+    iters = 5
+    out = {"gba_ms_per_iter": {}, "eg_ms_per_iter": {},
+           "shape": {"K": 256, "P": 16384, "O": 65536, "E": 2048}}
+    ref_pts = None
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.array(devs[:n]), ("points",))
+        sprob = shard_ba_problem(gprob, n)
+        dt = time_call(lambda: sharded_bundle_adjust(sprob, mesh, iterations=iters))
+        out["gba_ms_per_iter"][n] = round(dt / iters, 2)
+        R, t, pts, chi = sharded_bundle_adjust(sprob, mesh, iterations=iters)
+        flat = np.asarray(pts).reshape(-1, 3)[: gprob.points.shape[0]]
+        if ref_pts is None:
+            ref_pts = flat
+            out["gba_chi2_1dev"] = float(chi)
+        else:
+            out[f"gba_parity_maxdiff_{n}dev"] = float(
+                np.abs(flat - ref_pts).max())
+        emesh = Mesh(np.array(devs[:n]), ("edges",))
+        esp = shard_essential_graph(eprob, n)
+        dte = time_call(lambda: sharded_optimize_essential_graph(
+            esp, emesh, iterations=20))
+        out["eg_ms_per_iter"][n] = round(dte / 20, 2)
+        print(f"n={n}: gba {out['gba_ms_per_iter'][n]} ms/iter, "
+              f"eg {out['eg_ms_per_iter'][n]} ms/iter", file=sys.stderr)
+
+    with open("SCALING_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
