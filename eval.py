@@ -41,6 +41,7 @@ def run_sequence(seq, cfg, vocab, frames, gt_poses=None, verbose=True):
                   f"pts={slam.n_points} loops={slam.n_loops_closed}",
                   file=sys.stderr)
     wall = time.time() - t0
+    slam.finish()  # drain tail mapping/loop stages (reference joins threads)
 
     result = {
         "frames": n,
@@ -90,7 +91,7 @@ def main(argv=None):
     # the synthetic trajectories are phase-parameterized: more frames =
     # slower motion. 300/400 frames puts per-frame motion in the TUM fr1
     # regime (~1-2 cm/frame) that the BASELINE numbers refer to.
-    ap.add_argument("--seqs", default="xyz:300,loop:400",
+    ap.add_argument("--seqs", default="xyz:300,loop:400,orbit:300",
                     help="synthetic sequences as name:frames,...")
     ap.add_argument("--tum", default=None, help="TUM sequence directory")
     ap.add_argument("--seed", type=int, default=0)
@@ -119,6 +120,7 @@ def main(argv=None):
         print(json.dumps({"metric": "tum_run", **res}))
         return
 
+    all_results = {}
     for spec in args.seqs.split(","):
         name, _, nf = spec.partition(":")
         n = int(nf) if nf else args.frames
@@ -137,6 +139,9 @@ def main(argv=None):
         print(json.dumps({"metric": f"kf_ate_rmse_{name}", "unit": "m",
                           "value": res.get("kf_ate_rmse", res.get("ate_rmse")),
                           **res}))
+        all_results[name] = res
+    with open("EVAL_r03.json", "w") as f:
+        json.dump(all_results, f, indent=1)
 
 
 if __name__ == "__main__":

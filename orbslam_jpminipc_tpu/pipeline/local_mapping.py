@@ -111,8 +111,11 @@ class LocalMapper:
         pending = self._attrs_inflight
         self._attrs_inflight = None
         if pending is not None:
-            ids = self.map.apply_point_attributes(pending)
-            self.dmap.sync_points(self.map, ids)
+            from ..utils.tracing import get_tracer
+
+            with get_tracer().stage("attrs_drain"):
+                ids = self.map.apply_point_attributes(pending)
+                self.dmap.sync_points(self.map, ids)
 
     def _run_stage(self, kf: int, stage: str):
         if stage == "cull_points":
@@ -228,11 +231,15 @@ class LocalMapper:
         st, cfg = self.map, self.cfg
         if self._tri_pending is None or self._tri_pending[0] != kf:
             return
+        from ..utils.tracing import get_tracer
+
+        tracer = get_tracer()
         _, active, outs = self._tri_pending
         self._tri_pending = None
         if not st.kf_valid[kf]:
             return
-        ok, idx, xw = (np.asarray(o) for o in outs)
+        with tracer.stage("tri_m_pull"):
+            ok, idx, xw = (np.asarray(o) for o in outs)
 
         # sequential claim: a feature triangulated against an earlier (more
         # covisible) neighbor is excluded from later ones, mirroring the
@@ -362,9 +369,13 @@ class LocalMapper:
         if self._fuse_pending is None or self._fuse_pending[0] != kf:
             self._flush_attrs(kf)
             return
+        from ..utils.tracing import get_tracer
+
+        tracer = get_tracer()
         _, sel, n_act, q, outs = self._fuse_pending
         self._fuse_pending = None
-        mask, idx = (np.asarray(o) for o in outs)
+        with tracer.stage("fuse_m_pull"):
+            mask, idx = (np.asarray(o) for o in outs)
         T = FUSE_TARGETS
         touched: list[int] = []
         if st.kf_valid[kf]:
@@ -375,7 +386,8 @@ class LocalMapper:
             for i in range(n_act):
                 touched.extend(
                     self._merge_fuse(q[T + i], kf, mask[T + i], idx[T + i]))
-        self._flush_attrs(kf, touched)
+        with tracer.stage("fuse_m_attrs"):
+            self._flush_attrs(kf, touched)
 
     def _flush_attrs(self, kf: int, touched=()):
         """The per-keyframe attrs pass: one device call over the union of
@@ -571,9 +583,13 @@ class LocalMapper:
         st = self.map
         if self._ba_pending is None or self._ba_pending[0] != kf:
             return
+        from ..utils.tracing import get_tracer
+
+        tracer = get_tracer()
         _, prob, all_kfs, pts, gens, obs_src, res = self._ba_pending
         self._ba_pending = None
-        res = jax.tree.map(np.asarray, res)
+        with tracer.stage("ba_m_pull"):
+            res = jax.tree.map(np.asarray, res)
         kf_R = res.kf_R
         kf_t = res.kf_t
         for i, k in enumerate(all_kfs):
@@ -584,8 +600,12 @@ class LocalMapper:
         st.mp_xyz[pts[fresh]] = res.points[: len(pts)][fresh]
         # erase outlier observations (:453-470 + :496-520)
         out = res.obs_outlier
-        for o, (p, k, f) in enumerate(obs_src):
-            if out[o] and st.mp_gen[p] == gens[np.searchsorted(pts, p)]:
-                st.remove_observation(p, k)
-        self.dmap.sync_poses(st)
-        self.dmap.sync_points(st, pts[fresh])
+        with tracer.stage("ba_m_erase"):
+            gen_of = {int(p): int(g) for p, g in zip(pts, gens)}
+            for o in np.nonzero(out[: len(obs_src)])[0]:
+                p, k, f = obs_src[o]
+                if st.mp_gen[p] == gen_of.get(p, -1):
+                    st.remove_observation(p, k)
+        with tracer.stage("ba_m_sync"):
+            self.dmap.sync_poses(st)
+            self.dmap.sync_points(st, pts[fresh])

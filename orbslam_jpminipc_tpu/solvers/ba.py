@@ -173,8 +173,12 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, lam0: float = -1.0) -> 
 
     chi0 = _robust_chi2(prob, prob.kf_R, prob.kf_t, prob.points)
 
-    def body(_, state):
-        R, t, pts, lam, ni, chi = state
+    def cond(state):
+        i, _, _, _, _, _, _, done = state
+        return (i < iterations) & ~done
+
+    def body(state):
+        i, R, t, pts, lam, ni, chi, done = state
         dc, dp, bc, bp = _solve_delta(prob, R, t, pts, lam)
         dR, dt = exp_se3(dc)
         R_new, t_new = compose(dR, dt, R, t)
@@ -190,6 +194,9 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, lam0: float = -1.0) -> 
                       jnp.sum(dp * (lam * dp - bp)))
         rho = (chi - chi_new) / jnp.where(jnp.abs(pred) < 1e-30, 1e-30, pred)
         accept = (rho > 0) & (chi_new < chi) & jnp.isfinite(chi_new)
+        # convergence: an accepted step that no longer moves chi2 — the
+        # g2o terminate action's relative-gain criterion
+        done = accept & (chi - chi_new < 1e-5 * chi)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         pts = jnp.where(accept, pts_new, pts)
@@ -198,11 +205,12 @@ def bundle_adjust(prob: BAProblem, iterations: int = 10, lam0: float = -1.0) -> 
         lam = jnp.where(accept, lam * factor, lam * ni)
         lam = jnp.clip(lam, 1e-12, 1e12)
         ni = jnp.where(accept, 2.0, ni * 2.0)
-        return R, t, pts, lam, ni, chi
+        return i + 1, R, t, pts, lam, ni, chi, done
 
-    R, t, pts, _, _, chi = jax.lax.fori_loop(
-        0, iterations, body,
-        (prob.kf_R, prob.kf_t, prob.points, lam_init, jnp.float32(2.0), chi0),
+    _, R, t, pts, _, _, chi, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), prob.kf_R, prob.kf_t, prob.points, lam_init,
+         jnp.float32(2.0), chi0, jnp.asarray(False)),
     )
 
     # outlier classification at the solution (Optimizer.cc:453-470)

@@ -107,8 +107,12 @@ def optimize_pose(
         lam0 = 1e-5 * jnp.max(jnp.abs(jnp.diag(H0)))
         chi_r = robust_chi2(R, t)
 
-        def lm_body(_, state, inlier=inlier, use_huber=use_huber):
-            R, t, lam, ni, chi = state
+        def lm_cond(state, max_iters=_ROUND_ITERS[rnd]):
+            i, _, _, _, _, _, done = state
+            return (i < max_iters) & ~done
+
+        def lm_body(state, inlier=inlier, use_huber=use_huber):
+            i, R, t, lam, ni, chi, done = state
             w = weights(R, t, inlier, use_huber)
             H, b = _normal_eq(R, t, xw, uv, K4, w)
             R_new, t_new, delta = _lm_step(R, t, xw, uv, K4, w, H, b, lam)
@@ -117,6 +121,10 @@ def optimize_pose(
             rho = (chi - chi_new) / jnp.where(
                 jnp.abs(pred) < 1e-30, 1e-30, pred)
             accept = (rho > 0) & (chi_new < chi) & jnp.isfinite(chi_new)
+            # early termination on a converged accepted step (g2o's
+            # relative-gain terminate criterion) — most frames converge in
+            # 2-4 iterations and this loop runs twice per tracked frame
+            done = accept & (chi - chi_new < 1e-5 * chi)
             R = jnp.where(accept, R_new, R)
             t = jnp.where(accept, t_new, t)
             chi = jnp.where(accept, chi_new, chi)
@@ -124,11 +132,12 @@ def optimize_pose(
             lam = jnp.where(accept, lam * factor, lam * ni)
             lam = jnp.clip(lam, 1e-15, 1e10)
             ni = jnp.where(accept, 2.0, ni * 2.0)
-            return R, t, lam, ni, chi
+            return i + 1, R, t, lam, ni, chi, done
 
-        R, t, _, _, _ = jax.lax.fori_loop(
-            0, _ROUND_ITERS[rnd], lm_body,
-            (R, t, lam0, jnp.float32(2.0), chi_r),
+        _, R, t, _, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_body,
+            (jnp.int32(0), R, t, lam0, jnp.float32(2.0), chi_r,
+             jnp.asarray(False)),
         )
         # ~30 f32 rotation products per round drift R off SO(3); re-project
         # (g2o renormalizes its quaternion per update, se3quat.h)

