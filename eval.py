@@ -95,6 +95,8 @@ def main(argv=None):
                     help="synthetic sequences as name:frames,...")
     ap.add_argument("--tum", default=None, help="TUM sequence directory")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="write the aggregate results JSON to this path")
     ap.add_argument("--n-features", type=int, default=1000)
     args = ap.parse_args(argv)
 
@@ -140,8 +142,9 @@ def main(argv=None):
                           "value": res.get("kf_ate_rmse", res.get("ate_rmse")),
                           **res}))
         all_results[name] = res
-    with open("EVAL_r03.json", "w") as f:
-        json.dump(all_results, f, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(all_results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,16 @@ class SlamConfig:
     # per frame. The host path remains for init/reloc/fallback.
     fused_tracking: bool = True
 
+    # Pipelined tracking: dispatch frame N's fused step, pick up frame
+    # N-k's result from the async pull pool (k <= pipeline_depth), run the
+    # host bookkeeping then. Hides the device tunnel's ~25 ms per-pull
+    # round trip behind subsequent frames' compute; keyframe decisions lag
+    # by the pipeline depth — exactly the reference's mapper-thread lag
+    # (LocalMapping::Run polls at 5 Hz, LocalMapping.cc:52-127). Turn off
+    # for frame-synchronous semantics (tests, lowest-latency pose out).
+    pipelined_tracking: bool = True
+    pipeline_depth: int = 3
+
     # Mapping overlap: when True, the per-keyframe mapping stages
     # (triangulate / fuse / local BA / cull / loop detection) run one per
     # subsequent frame instead of synchronously at KF insertion — the

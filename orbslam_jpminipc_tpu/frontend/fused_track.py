@@ -56,10 +56,12 @@ class FusedOut(NamedTuple):
     t: jax.Array          # (3,)
     vel_R: jax.Array      # (3, 3) motion-model velocity
     vel_t: jax.Array      # (3,)
-    # host-pulled compact results
-    packed: jax.Array     # (16,) f32: R(9) t(3) n_inl2 n_inl1 n_match2 n_match1
-    feat_bind: jax.Array  # (N,) int32: slice slot | BIND_INLIER, -1 = none
-    slice_flags: jax.Array  # (M,) uint8: FLAG_VISIBLE | FLAG_FOUND
+    # ONE host-pull buffer (the tunnel charges ~25 ms per pull RPC, so the
+    # per-frame results ship as a single int32 vector):
+    #   [0:16)        f32-bitcast: R(9) t(3) n_inl2 n_inl1 n_match2 n_match1
+    #   [16:16+N)     feat_bind: slice slot | BIND_INLIER, -1 = none
+    #   [16+N:16+N+M) slice_flags: FLAG_VISIBLE | FLAG_FOUND
+    pull: jax.Array
     # device-resident features for the lazy Frame
     feats: dict
 
@@ -127,11 +129,15 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
             scale_factors, th,
             max_dist=100, nn_ratio=nn_ratio, level_window=(-1, 1),
         )
-        # scatter matches to features
+        # scatter matches to features: only matched rows scatter (unmatched
+        # rows route to the dropped out-of-bounds index n) — scattering -1
+        # for every unmatched row would nondeterministically overwrite a
+        # legitimate match landing on the same feature (duplicate-index
+        # .set order is undefined in XLA)
         n = f_xy.shape[0]
         feat_pt = jnp.full((n,), -1, jnp.int32)
-        feat_pt = feat_pt.at[m.idx].set(
-            jnp.where(m.mask, jnp.arange(n_map, dtype=jnp.int32), -1)
+        feat_pt = feat_pt.at[jnp.where(m.mask, m.idx, n)].set(
+            jnp.arange(n_map, dtype=jnp.int32), mode="drop"
         )
         has = feat_pt >= 0
         xw = xyz[jnp.clip(feat_pt, 0, n_map - 1)]
@@ -246,6 +252,11 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
                 n_m2.astype(jnp.float32), n_m1.astype(jnp.float32),
             ]),
         ])
+        pull = jnp.concatenate([
+            jax.lax.bitcast_convert_type(packed, jnp.int32),
+            feat_bind,
+            flags.astype(jnp.int32),
+        ])
         feats_out = {
             "xy": feats.xy, "xy_un": xy_un, "level": feats.level,
             "angle": feats.angle, "response": feats.response,
@@ -253,8 +264,7 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
         }
         return FusedOut(
             R=res2.R, t=res2.t, vel_R=vel_R_new, vel_t=vel_t_new,
-            packed=packed, feat_bind=feat_bind, slice_flags=flags,
-            feats=feats_out,
+            pull=pull, feats=feats_out,
         )
 
     return step
@@ -302,6 +312,11 @@ class FusedContext:
         # host metadata for the slice
         self.slice_ids = np.zeros(0, np.int64)   # map-point slot per row
         self.slice_gen = np.zeros(0, np.int32)   # generation at refresh
+        # bumped whenever the host overwrites the device-resident pose
+        # (set_pose / invalidate): in-flight pipelined results dispatched
+        # against the pre-intervention state are stale and must be
+        # reprocessed on the host path
+        self.epoch = 0
 
     @property
     def ready(self) -> bool:
@@ -309,6 +324,7 @@ class FusedContext:
 
     def set_pose(self, R: np.ndarray, t: np.ndarray, velocity=None):
         """(Re)enter the fused path from host state: one packed upload."""
+        self.epoch += 1
         buf = np.concatenate([
             np.asarray(R, np.float32).reshape(-1), np.asarray(t, np.float32)
         ])
@@ -339,6 +355,7 @@ class FusedContext:
         self.slice_gen = st.mp_gen[pts].copy()
 
     def invalidate(self):
+        self.epoch += 1
         self.R = None
         self.slice_buf = None
 

@@ -40,6 +40,25 @@ class TrackState(enum.Enum):
     LOST = 4
 
 
+class FusedRecord:
+    """One in-flight pipelined fused step: the dispatch-time snapshot plus
+    the async pull of its result buffer."""
+
+    __slots__ = ("frame_id", "timestamp", "image", "out",
+                 "slice_ids", "slice_gen", "epoch", "future")
+
+    def __init__(self, frame_id, timestamp, image, out,
+                 slice_ids, slice_gen, epoch, future):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.image = image
+        self.out = out
+        self.slice_ids = slice_ids
+        self.slice_gen = slice_gen
+        self.epoch = epoch
+        self.future = future
+
+
 _window_search = jax.jit(
     matching.window_search,
     static_argnames=("max_dist", "min_level", "max_level", "check_rotation"),
@@ -243,30 +262,48 @@ class Tracker:
         if self.fused.slice_buf is None:
             self.refresh_fused_slice()
 
-    def process_fused(self, image, frame_id: int, timestamp: float):
-        """One WORKING-state step on the fused device path: a single
-        dispatch and one small pull; host work is numpy bookkeeping."""
+    def fused_dispatch(self, image, frame_id: int, timestamp: float) -> "FusedRecord":
+        """Dispatch one fused step and submit its single result buffer to
+        the pull pool. The host bookkeeping half (fused_complete) runs when
+        the pull lands — possibly several frames later in pipelined mode.
+        The slice metadata and epoch are snapshotted NOW: the result binds
+        against the slice that was resident at dispatch time."""
+        from ..utils.pull import pull_pool
+        from ..utils.tracing import get_tracer
+
+        with get_tracer().stage("track_dispatch"):
+            out = self.fused.track(image)
+        return FusedRecord(
+            frame_id=frame_id, timestamp=timestamp, image=image, out=out,
+            slice_ids=self.fused.slice_ids, slice_gen=self.fused.slice_gen,
+            epoch=self.fused.epoch, future=pull_pool().submit(out.pull),
+        )
+
+    def fused_complete(self, rec: "FusedRecord"):
+        """Host bookkeeping for a completed fused step (the second half of
+        the old process_fused): pose writeback, visible/found statistics,
+        match bindings, FSM transition, keyframe decision."""
         st = self.map
         from ..utils.tracing import get_tracer
 
         tracer = get_tracer()
-        with tracer.stage("track_dispatch"):
-            out = self.fused.track(image)
         with tracer.stage("track_pull"):
-            packed = np.asarray(out.packed)
-        bind = np.asarray(out.feat_bind)
-        flags = np.asarray(out.slice_flags)
-        frame = Frame(frame_id, timestamp, n_feat=len(bind), dev=out.feats)
+            buf = np.asarray(rec.future.result())
+        n_feat = int(rec.out.feats["valid"].shape[0])
+        packed = buf[:16].view(np.float32)
+        bind = buf[16:16 + n_feat]
+        flags = buf[16 + n_feat:].astype(np.uint8)
+        frame = Frame(rec.frame_id, rec.timestamp, n_feat=n_feat, dev=rec.out.feats)
         frame.R = packed[:9].reshape(3, 3).astype(np.float32).copy()
         frame.t = packed[9:12].astype(np.float32).copy()
         self.n_inliers = int(packed[12])
         # diagnostics: (inl2, inl1, n_match2, n_match1)
         self.fused_stats = tuple(int(x) for x in packed[12:16])
 
-        ids = self.fused.slice_ids
+        ids = rec.slice_ids
         n_ids = len(ids)
         if n_ids:
-            live = st.mp_valid[ids] & (st.mp_gen[ids] == self.fused.slice_gen)
+            live = st.mp_valid[ids] & (st.mp_gen[ids] == rec.slice_gen)
             fl = flags[:n_ids]
             vis = ((fl & fused_track.FLAG_VISIBLE) > 0) & live
             fnd = ((fl & fused_track.FLAG_FOUND) > 0) & live
@@ -316,6 +353,23 @@ class Tracker:
             frame.t = None
         self.last_frame = frame
         return self.state, frame
+
+    def process_fused(self, image, frame_id: int, timestamp: float):
+        """Synchronous fused step: dispatch + complete back to back (the
+        deterministic path used by tests and non-pipelined configs)."""
+        return self.fused_complete(self.fused_dispatch(image, frame_id, timestamp))
+
+    def reprocess_stale(self, rec: "FusedRecord"):
+        """A pipelined record dispatched before a host intervention
+        (fallback pose fix, relocalization, reset) ran against stale device
+        state — its result is garbage. Re-track the frame on the host path
+        using its (device-resident) features; the extraction is NOT redone.
+        """
+        frame = Frame(rec.frame_id, rec.timestamp,
+                      n_feat=int(rec.out.feats["valid"].shape[0]),
+                      dev=rec.out.feats)
+        state = self.process_frame(frame)
+        return state, frame
 
     # ------------------------------------------------------------------
     # initialization (Tracking.cc:360-420 + CreateInitialMap :422-524)

@@ -127,4 +127,16 @@ def load_slam(path: str, slam):
     slam.tracker.state = TrackState.LOST
     slam.tracker.velocity = None
     slam.tracker.last_frame = None
+    if slam.tracker.fused is not None:
+        slam.tracker.fused.invalidate()
+    # drop split-stage work dispatched against the PRE-load map (mirrors
+    # Slam.reset): a deferred merge drained after the load would apply
+    # device results computed on the old map into the fresh one
+    slam.mapper.probation = []
+    slam.mapper._tri_pending = None
+    slam.mapper._fuse_pending = None
+    slam.mapper._ba_pending = None
+    slam.mapper._attrs_pending = []
+    slam.mapper._attrs_inflight = None
+    slam.pending = []
     return slam

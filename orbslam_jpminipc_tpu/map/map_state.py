@@ -361,29 +361,31 @@ class MapState:
         descs = self.kf_desc[kf_safe, obs_feat]            # (n, MAX_OBS, 32)
         levels = self.kf_level[kf_safe, obs_feat]
         centers = -np.einsum("koji,koj->koi", self.kf_R[kf_safe], self.kf_t[kf_safe])
-        ref = np.clip(self.mp_ref_kf[ids], 0, self.max_kf - 1)
         ref_slot = np.argmax(obs_kf == self.mp_ref_kf[ids][:, None], axis=1)
-        desc, normal, dmin, dmax = _point_attrs(
+        outs = _point_attrs(
             descs, valid, self.mp_xyz[ids],
             centers.astype(np.float32), levels, ref_slot.astype(np.int64),
             scale_factors,
         )
+        from ..utils.pull import pull_pool
+
         return (ids[:n_real], self.mp_gen[ids[:n_real]].copy(),
-                desc, normal, dmin, dmax)
+                pull_pool().submit(outs))
 
     def apply_point_attributes(self, pending):
         """Pull + write back an async attrs computation. Generation-checked:
         points culled between dispatch and apply are skipped."""
         if pending is None:
             return np.zeros(0, np.int64)
-        ids, gens, desc, normal, dmin, dmax = pending
+        ids, gens, fut = pending
+        desc, normal, dmin, dmax = fut.result()
         n_real = len(ids)
         fresh = self.mp_gen[ids] == gens
         ids = ids[fresh]
-        self.mp_desc[ids] = np.asarray(desc)[:n_real][fresh]
-        self.mp_normal[ids] = np.asarray(normal)[:n_real][fresh]
-        self.mp_min_dist[ids] = np.asarray(dmin)[:n_real][fresh]
-        self.mp_max_dist[ids] = np.asarray(dmax)[:n_real][fresh]
+        self.mp_desc[ids] = desc[:n_real][fresh]
+        self.mp_normal[ids] = normal[:n_real][fresh]
+        self.mp_min_dist[ids] = dmin[:n_real][fresh]
+        self.mp_max_dist[ids] = dmax[:n_real][fresh]
         return ids
 
 

@@ -222,7 +222,11 @@ class LocalMapper:
             np.broadcast_to(active_mask, (B, st.n_feat)).copy(),
             cfg.K4, cfg.sigma2, cfg.scale_factors,
         )
-        self._tri_pending = (kf, active, outs)
+        from ..utils.pull import pull_pool
+
+        # submit the async pull NOW: the ~25 ms RPC overlaps the
+        # interleaved tracking instead of stalling the merge stage
+        self._tri_pending = (kf, active, pull_pool().submit(outs))
 
     def triangulate_merge(self, kf: int):
         """Host half: claim features, allocate points, wire observations.
@@ -239,7 +243,7 @@ class LocalMapper:
         if not st.kf_valid[kf]:
             return
         with tracer.stage("tri_m_pull"):
-            ok, idx, xw = (np.asarray(o) for o in outs)
+            ok, idx, xw = outs.result()
 
         # sequential claim: a feature triangulated against an earlier (more
         # covisible) neighbor is excluded from later ones, mirroring the
@@ -357,7 +361,9 @@ class LocalMapper:
             dm.mp_max_dist, dm.mp_valid,
             q, row_valid, dst, cfg.K4, cfg.scale_factors,
         )
-        self._fuse_pending = (kf, sel, n_act, q, outs)
+        from ..utils.pull import pull_pool
+
+        self._fuse_pending = (kf, sel, n_act, q, pull_pool().submit(outs))
 
     def fuse_merge(self, kf: int):
         """Host half: merge bookkeeping + the keyframe's ONE attrs pass
@@ -375,7 +381,7 @@ class LocalMapper:
         _, sel, n_act, q, outs = self._fuse_pending
         self._fuse_pending = None
         with tracer.stage("fuse_m_pull"):
-            mask, idx = (np.asarray(o) for o in outs)
+            mask, idx = outs.result()
         T = FUSE_TARGETS
         touched: list[int] = []
         if st.kf_valid[kf]:
@@ -531,6 +537,8 @@ class LocalMapper:
                     f = int(st.mp_obs_feat[p, s])
                     obs_kf[n] = kf_index[k]
                     obs_pt[n] = pi
+                    obs_feat[n] = f
+                    obs_srckf[n] = k
                     obs_uv[n] = st.kf_xy[k, f]
                     obs_w[n] = cfg.inv_sigma2[min(int(st.kf_level[k, f]), cfg.n_levels - 1)]
                     obs_valid[n] = True
@@ -571,10 +579,12 @@ class LocalMapper:
             obs_srckf, prob.obs_valid, prob.K4,
             self.cfg.inv_sigma2.astype(np.float32),
         )
+        from ..utils.pull import pull_pool
+
         # snapshot generations: observations/points may be culled by other
         # stages before the merge lands — never write into a recycled slot
         self._ba_pending = (kf, prob, all_kfs, pts, st.mp_gen[pts].copy(),
-                            obs_src, res)
+                            obs_src, pull_pool().submit(res))
 
     def ba_merge(self, kf: int):
         """Host half: pose/point writeback + outlier-observation erasure
@@ -589,7 +599,7 @@ class LocalMapper:
         _, prob, all_kfs, pts, gens, obs_src, res = self._ba_pending
         self._ba_pending = None
         with tracer.stage("ba_m_pull"):
-            res = jax.tree.map(np.asarray, res)
+            res = res.result()
         kf_R = res.kf_R
         kf_t = res.kf_t
         for i, k in enumerate(all_kfs):

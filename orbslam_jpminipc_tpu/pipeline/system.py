@@ -52,16 +52,37 @@ class Slam:
         # frame when cfg.async_mapping, replacing the reference's mapper
         # thread overlap (main.cc:182, LocalMapping.cc:52-127)
         self.pending: list[tuple[int, list[str]]] = []
+        # pipelined tracking: in-flight fused records awaiting their async
+        # pull; completed strictly in frame order
+        from collections import deque
+
+        self._inflight: deque = deque()
+        self._last_result: tuple[TrackState, Frame | None] = (
+            TrackState.NO_IMAGES_YET, None)
 
     # ------------------------------------------------------------------
 
     def process(self, image, timestamp: float = 0.0) -> tuple[TrackState, Frame]:
         """One frame. `image` may be a host uint8 array or an already
         device-put array (prefetched by the caller to overlap the upload
-        with the previous frame's compute)."""
+        with the previous frame's compute).
+
+        In pipelined mode (cfg.pipelined_tracking) the fused step for this
+        frame is dispatched and the HOST bookkeeping of an earlier frame
+        whose async pull completed is run instead; the returned (state,
+        frame) is the most recently COMPLETED frame's. finish() drains the
+        tail."""
         frame_id = self.frame_count
         self.frame_count += 1
         tr = self.tracker
+        if self.cfg.pipelined_tracking and tr.fused_usable(frame_id):
+            rec = tr.fused_dispatch(image, frame_id, timestamp)
+            self._inflight.append(rec)
+            self._drain_inflight(force=len(self._inflight) > self.cfg.pipeline_depth)
+            self._mapping_tick()
+            return self._last_result
+        # host/sync path: complete every in-flight frame first (ordering)
+        self._drain_inflight(force=True, drain_all=True)
         if tr.fused_usable(frame_id):
             # steady-state device path: extraction happens INSIDE the fused
             # program; one upload (the image), one dispatch, one small pull
@@ -85,44 +106,83 @@ class Slam:
             if state == TrackState.WORKING and self.cfg.fused_tracking:
                 # (re)arm the fused path for the next frame
                 tr.enter_fused(frame)
-        if frame.R is not None:
+        self._after_track(state, frame, timestamp)
+        self._mapping_tick()
+        return self._last_result
+
+    def _after_track(self, state: TrackState, frame: Frame, timestamp: float):
+        """Post-tracking bookkeeping for one COMPLETED frame (in frame
+        order): trajectory entry + auto-reset after a failed start
+        (Tracking.cc:287-294 — the reference gates on map size alone)."""
+        if frame is not None and frame.R is not None:
             self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
-        # amortized mapping: run pending stages after the pose is out (the
-        # tracker never waits for the mapper); drain two per frame when the
-        # queue backs up behind a burst of keyframes
-        if self.pending:
-            # two stages per frame: the amortized mapper then clears one
-            # keyframe's backlog in ~3 frames (~100 ms at 30 fps) — the
-            # reference mapper thread's cadence (LocalMapping::Run)
-            with self.tracer.stage("mapping"):
-                for _ in range(2):
-                    if not self.pending:
-                        break
-                    stage = self._run_pending_stage()
-                    if stage in LocalMapper.DISPATCH_STAGES:
-                        # device work in flight: its merge runs next frame,
-                        # overlapped with the interleaved tracking
-                        break
-            # mapping stages mutate the map: refresh the device-resident
-            # tracking slice (one async upload) so the fused path sees it
-            tr.refresh_fused_slice()
-        # auto-reset after a failed start (Tracking.cc:287-294 — the
-        # reference gates on map size alone)
         n_kf = int(self.map.kf_valid.sum())
         if state == TrackState.LOST and 0 < n_kf <= 5:
             self.reset()
-        return state, frame
+        self._last_result = (state, frame)
+
+    def _mapping_tick(self):
+        """Amortized mapping: run pending stages after the pose is out (the
+        tracker never waits for the mapper); drain two per frame when the
+        queue backs up behind a burst of keyframes."""
+        if not self.pending:
+            return
+        # two stages per frame: the amortized mapper then clears one
+        # keyframe's backlog in ~3 frames (~100 ms at 30 fps) — the
+        # reference mapper thread's cadence (LocalMapping::Run)
+        with self.tracer.stage("mapping"):
+            for _ in range(2):
+                if not self.pending:
+                    break
+                stage = self._run_pending_stage()
+                if stage in LocalMapper.DISPATCH_STAGES:
+                    # device work in flight: its merge runs next frame,
+                    # overlapped with the interleaved tracking
+                    break
+        # mapping stages mutate the map: refresh the device-resident
+        # tracking slice (one async upload) so the fused path sees it
+        self.tracker.refresh_fused_slice()
+
+    def _drain_inflight(self, force: bool = False, drain_all: bool = False):
+        """Complete in-flight pipelined records whose pulls have landed —
+        strictly in frame order. force: complete at least one (block on its
+        pull). drain_all: complete everything."""
+        tr = self.tracker
+        while self._inflight:
+            head = self._inflight[0]
+            if not (drain_all or force or head.future.done()):
+                break
+            force = False
+            self._inflight.popleft()
+            if tr.fused is None or head.epoch != tr.fused.epoch:
+                # dispatched against device state the host has since
+                # overwritten (fallback/reloc/reset): the result is
+                # garbage — re-track on the host path from the record's
+                # device-resident features
+                with self.tracer.stage("track"):
+                    state, frame = tr.reprocess_stale(head)
+                if state == TrackState.WORKING and self.cfg.fused_tracking:
+                    tr.enter_fused(frame)
+            else:
+                with self.tracer.stage("track"):
+                    state, frame = tr.fused_complete(head)
+            self._after_track(state, frame, head.timestamp)
 
     def finish(self):
-        """Drain all pending mapping/loop stages (end of sequence — the
-        reference joins its mapper/loop threads on shutdown, main.cc:222)."""
+        """Drain all pending tracking/mapping/loop stages (end of sequence
+        — the reference joins its mapper/loop threads on shutdown,
+        main.cc:222)."""
+        self._drain_inflight(drain_all=True)
         while self.pending:
             self._run_pending_stage()
         self.mapper.drain_attrs()
         self.tracker.refresh_fused_slice()
 
     def reset(self):
-        """Full reset (Tracking::Reset, Tracking.cc:1066-1103)."""
+        """Full reset (Tracking::Reset, Tracking.cc:1066-1103). In-flight
+        pipelined records are NOT cleared: the fused epoch bump marks them
+        stale and they re-enter through the host path (initialization) —
+        they are real camera frames the reset must not swallow."""
         cfg = self.cfg
         self.map = MapState.create(cfg.max_kf, cfg.max_mp, 2 * cfg.n_features, cfg.max_obs)
         if self.kfdb is not None:
@@ -184,7 +244,6 @@ class Slam:
         for mp, fi in zip(ids, feats0):
             st.add_observation(int(mp), kf0, int(fi))
             st.add_observation(int(mp), kf1, int(idx[fi]))
-        st.update_point_attributes(ids, cfg.scale_factors)
 
         # global BA on the 2-KF map (Tracking.cc:476)
         self._two_frame_global_ba(kf0, kf1, ids)
@@ -198,6 +257,14 @@ class Slam:
             return
         st.kf_t[kf1] /= med
         st.mp_xyz[ids] /= med
+        # attributes AFTER the gauge scaling: the scale bands (min/max
+        # distance) and normals must describe the scaled geometry, or the
+        # level prediction and the min/max-dist frustum gates reject nearly
+        # every point until the first mapping pass recomputes them. (The
+        # reference computes them pre-scale, Tracking.cc:442-467, and
+        # tolerates the staleness only because its frame-to-frame tracker
+        # does not consult them; the fused device tracker does.)
+        st.update_point_attributes(ids, cfg.scale_factors)
 
         if self.kfdb is not None:
             self.kfdb.add(kf0, st.kf_desc[kf0], st.kf_feat_valid[kf0])

@@ -81,6 +81,7 @@ class TestDistortionEndToEnd:
         K4 = (500.0, 500.0, 320.0, 240.0)
         dist = (-0.26, 0.08, 0.0, 0.0)  # fr1-like radial distortion
         cfg = SlamConfig(
+            pipelined_tracking=False,
             fx=K4[0], fy=K4[1], cx=K4[2], cy=K4[3],
             k1=dist[0], k2=dist[1], p1=0.0, p2=0.0,
             n_features=600, max_kf=64, max_mp=8192, local_ba_obs=8192,

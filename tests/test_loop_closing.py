@@ -39,7 +39,8 @@ def _make_points(rng, n):
 @pytest.fixture
 def scene(rng):
     """9 KFs: 0-1 start, 2-4 bridge, 5-8 revisit (drifted duplicates)."""
-    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+    cfg = SlamConfig(pipelined_tracking=False,
+                     fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                      max_kf=16, max_mp=2048, n_features=128)
     st = MapState.create(max_kf=16, max_mp=2048, n_feat=160, max_obs=12)
 
@@ -153,7 +154,8 @@ def test_correction_propagates_beyond_covisible_group():
     loop error along the cycle cancels the linear drift almost exactly.
     """
     rng = np.random.default_rng(7)
-    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+    cfg = SlamConfig(pipelined_tracking=False,
+                     fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                      max_kf=64, max_mp=4096, n_features=64)
     N = 32
     st = MapState.create(max_kf=64, max_mp=4096, n_feat=64, max_obs=8)
@@ -259,7 +261,8 @@ class TestOrbitLoopEndToEnd:
         from orbslam_jpminipc_tpu.pipeline.system import Slam
         from orbslam_jpminipc_tpu.vocab.vocabulary import load_vocabulary
 
-        cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+        cfg = SlamConfig(pipelined_tracking=False,
+                     fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                          k1=0.0, k2=0.0, p1=0.0, p2=0.0, n_features=1000)
         voc = load_vocabulary(os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -66,3 +66,45 @@ def test_sharded_ba_on_live_pipeline_problem():
     R, t, pts_sh, chi2 = sharded_bundle_adjust(sprob, mesh, iterations=8)
     assert abs(float(chi2) - float(ref.chi2)) < 0.02 * float(ref.chi2) + 0.5
     np.testing.assert_allclose(np.asarray(R), np.asarray(ref.kf_R), atol=2e-2)
+
+
+def test_local_ba_problem_python_fallback_matches_native(monkeypatch):
+    """ADVICE r03 (high): the no-native fallback of build_local_ba_problem
+    must fill obs_feat/obs_srckf — the mirror kernel gathers obs_uv from
+    them, so zeroed arrays silently corrupt local BA on machines without
+    g++. Build the same problem with and without the native path and
+    assert the observation sets are identical."""
+    from orbslam_jpminipc_tpu.io.dataset import SyntheticSequence
+    from orbslam_jpminipc_tpu.pipeline.system import Slam
+    from tests.test_pipeline import make_cfg
+
+    seq = SyntheticSequence(n_frames=30, trajectory="xyz", seed=3)
+    slam = Slam(make_cfg(), vocab=None)
+    for i in range(25):
+        img, ts, _ = seq.get(i)
+        slam.process(img, ts)
+    st = slam.map
+    kf = int(np.nonzero(st.kf_valid)[0][np.argmax(st.kf_frame_id[st.kf_valid])])
+
+    prob_n, _, pts_n, src_n = slam.mapper.build_local_ba_problem(kf)
+    feat_n, srckf_n = slam.mapper._last_obs_idx
+
+    import orbslam_jpminipc_tpu.pipeline.local_mapping as lm
+    import orbslam_jpminipc_tpu.native as native_mod
+    monkeypatch.setattr(native_mod, "build_ba_obs_native",
+                        lambda *a, **k: None)
+    prob_p, _, pts_p, src_p = slam.mapper.build_local_ba_problem(kf)
+    feat_p, srckf_p = slam.mapper._last_obs_idx
+
+    assert np.array_equal(pts_n, pts_p)
+    # same observation multiset (order may differ between the two builders)
+    def key(prob, feat, srckf):
+        k = np.stack([np.asarray(prob.obs_kf), np.asarray(prob.obs_pt),
+                      feat, srckf], 1)[np.asarray(prob.obs_valid)]
+        return k[np.lexsort(k.T)]
+    assert np.array_equal(key(prob_n, feat_n, srckf_n),
+                          key(prob_p, feat_p, srckf_p))
+    # and the gathered pixels agree with the shipped obs_uv
+    uv_p = st.kf_xy[srckf_p, feat_p]
+    assert np.allclose(uv_p[np.asarray(prob_p.obs_valid)],
+                       np.asarray(prob_p.obs_uv)[np.asarray(prob_p.obs_valid)])

@@ -15,6 +15,9 @@ from orbslam_jpminipc_tpu.vocab.vocabulary import build_vocabulary
 
 
 def make_cfg(**kw):
+    # frame-synchronous semantics by default: these tests assert per-frame
+    # states; the pipelined test overrides it
+    kw.setdefault("pipelined_tracking", False)
     return SlamConfig(
         fx=500.0, fy=500.0, cx=320.0, cy=240.0,
         n_features=600, max_kf=64, max_mp=8192, local_ba_obs=8192,
@@ -131,3 +134,33 @@ class TestMappingOverlap:
         # and KF-event frames stay within a small factor of ordinary frames
         ratio = np.median(lat[kf_frames]) / np.median(lat[~kf_frames])
         assert ratio <= 4.0, ratio
+
+
+class TestPipelinedTracking:
+    def test_pipelined_matches_sync(self, vocab):
+        """The pipelined frame loop (dispatch frame N, complete frame N-k
+        from the async pull pool — the shipping configuration) must produce
+        a trajectory of the same quality as the synchronous path: the
+        device-side tracking state is identical, only the host bookkeeping
+        lags by the pipeline depth."""
+        seq = SyntheticSequence(n_frames=45, trajectory="xyz", seed=3)
+        slam = Slam(make_cfg(pipelined_tracking=True), vocab=vocab,
+                    enable_loop_closing=False)
+        for i in range(len(seq)):
+            img, ts, _ = seq.get(i)
+            slam.process(img, ts)
+        slam.finish()  # drain the in-flight tail
+        ts_to_gt = {round(float(seq.timestamps[i]), 6): seq.poses[i]
+                    for i in range(len(seq))}
+        est_c, gt_c = [], []
+        for ts, R, t in slam.trajectory:
+            Rg, tg = ts_to_gt[round(ts, 6)]
+            gt_c.append(-Rg.T @ tg)
+            est_c.append(-R.T @ t)
+        assert len(est_c) > 35, len(est_c)
+        ate = ate_rmse(np.stack(est_c), np.stack(gt_c))
+        assert ate < 0.03, ate
+        assert slam.n_keyframes >= 3
+        # trajectory is in frame order despite asynchronous completion
+        tss = [ts for ts, _, _ in slam.trajectory]
+        assert tss == sorted(tss)

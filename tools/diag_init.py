@@ -25,7 +25,8 @@ def main():
     from orbslam_jpminipc_tpu.pipeline.system import Slam
     from orbslam_jpminipc_tpu.vocab.vocabulary import load_vocabulary
 
-    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+    cfg = SlamConfig(pipelined_tracking=False,
+                     fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                      k1=0.0, k2=0.0, p1=0.0, p2=0.0, n_features=1000)
     voc = load_vocabulary(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
