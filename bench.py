@@ -23,62 +23,86 @@ import numpy as np
 
 
 def stream_time(fn, n=30, reps=4, warmup=2):
-    """Best-of-reps amortized ms/call: dispatch n dependent/independent calls,
-    block once at the end (steady-state streaming throughput)."""
+    """Best-of-reps amortized ms/call with a REAL device->host pull per rep
+    (jax.block_until_ready does not actually block through the axon tunnel,
+    so each rep's last output is pulled to host)."""
     import jax
 
+    def sync(out):
+        np.asarray(jax.tree.leaves(out)[0])
+
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        sync(fn())
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = [fn() for _ in range(n)]
-        jax.block_until_ready(outs)
+        out = None
+        for _ in range(n):
+            out = fn()
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3
 
 
 def bench_fused(dev):
-    """The fused extract + tracking_step chain (r01 headline)."""
+    """The SHIPPING fused per-frame program (fused_track.make_fused_step —
+    the same program __graft_entry__.entry() exports and the system's
+    WORKING path runs), driven exactly like the pipelined frame loop:
+    dispatch frame N, async-pull frame N-k via the pull pool."""
+    from collections import deque
+
     import jax
     import jax.numpy as jnp
 
-    from orbslam_jpminipc_tpu.models.slam_step import (
-        tracking_step, example_tracking_args,
+    from orbslam_jpminipc_tpu.config import SlamConfig
+    from orbslam_jpminipc_tpu.frontend.fused_track import (
+        MAX_SLICE, FusedContext, pack_slice,
     )
     from orbslam_jpminipc_tpu.ops.extractor import extract
+    from orbslam_jpminipc_tpu.utils.pull import pull_pool
 
-    args = example_tracking_args(n_map=4096, n_feat=1024)
-    args = jax.device_put(args, dev)
-    (R0, t0, map_xyz, map_desc, map_normal, map_min, map_max, map_valid,
-     _fxy, _fd, _fl, _fv, inv_sigma2, scale_factors, K4, bounds) = args
-
+    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                     k1=0.0, k2=0.0, p1=0.0, p2=0.0, n_features=1000)
+    ctx = FusedContext(cfg)
     rng = np.random.default_rng(0)
-    img = jax.device_put(
-        jnp.array(rng.integers(0, 255, (480, 640)).astype(np.float32)), dev
+    M = MAX_SLICE
+    xyz = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
+                    rng.uniform(1, 3, M)], 1).astype(np.float32)
+    normal = (xyz / np.linalg.norm(xyz, axis=1, keepdims=True)).astype(np.float32)
+    buf = pack_slice(
+        xyz, normal, np.full(M, 0.5, np.float32), np.full(M, 6.0, np.float32),
+        rng.integers(0, 256, (M, 32)).astype(np.uint8),
+        rng.integers(2, 9, M).astype(np.float32), M,
     )
-    n_feat = 1024
+    ctx.set_pose(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    ctx.slice_buf = jax.device_put(jnp.asarray(buf), dev)
+    imgs = [jax.device_put(
+        jnp.asarray(rng.integers(0, 255, (480, 640)).astype(np.uint8)), dev)
+        for _ in range(4)]
 
-    def pad_to(x, n):
-        pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad)
+    # warm (compile)
+    out = ctx.track(imgs[0])
+    np.asarray(out.pull)
 
-    state = {"R": R0, "t": t0}
+    n = 60
+    depth = cfg.pipeline_depth
+    best = float("inf")
+    for _ in range(3):
+        inflight = deque()
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = ctx.track(imgs[i % 4])
+            inflight.append(pull_pool().submit(out.pull))
+            while inflight and (inflight[0].done() or len(inflight) > depth):
+                inflight.popleft().result()
+        while inflight:
+            inflight.popleft().result()
+        best = min(best, (time.perf_counter() - t0) / n)
+    dt = best * 1e3
 
-    def frame():
-        f = extract(img, n_features=1000, n_levels=8)
-        out = tracking_step(
-            state["R"], state["t"],
-            map_xyz, map_desc, map_normal, map_min, map_max, map_valid,
-            pad_to(f.xy, n_feat), pad_to(f.desc, n_feat),
-            pad_to(f.level, n_feat), pad_to(f.valid, n_feat),
-            inv_sigma2, scale_factors, K4, bounds,
-        )
-        state["R"], state["t"] = out[0], out[1]
-        return out
-
-    dt = stream_time(frame, n=30)
-    dt_ex = stream_time(lambda: extract(img, n_features=1000, n_levels=8), n=20)
+    dt_ex = stream_time(
+        lambda: extract(imgs[0].astype(jnp.float32), n_features=1000, n_levels=8),
+        n=20)
     print(f"fused pipeline: {dt:.3f} ms ({1000/dt:.1f} fps); extract {dt_ex:.3f} ms",
           file=sys.stderr)
     return dt, dt_ex
@@ -202,9 +226,11 @@ def bench_e2e():
 
     cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                      k1=0.0, k2=0.0, p1=0.0, p2=0.0, n_features=1000)
+    # the vocabulary run.py ships by default: the 64k-word hierarchical
+    # tree (the ORBvoc.txt analogue) — bench measures the shipping config
     voc = load_vocabulary(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "orbslam_jpminipc_tpu", "data", "vocab_synthetic.npz"))
+        "orbslam_jpminipc_tpu", "data", "vocab_tree64k.npz"))
 
     import jax
 
@@ -222,12 +248,14 @@ def bench_e2e():
             if i + 1 < len(subset):
                 nxt = jax.device_put(subset[i + 1][0])
             slam.process(cur, ts)
+        slam.finish()
 
-    # warmup: compile everything the steady-state path touches
-    warm = Slam(cfg, vocab=voc)
-    run(warm, frames[:40])
+    # warmup: compile every steady-state AND recovery-path program (the
+    # jit caches are module-level, so one warmed instance warms them all)
+    Slam(cfg, vocab=voc).warmup()
 
     slam = Slam(cfg, vocab=voc)
+    slam.tracer.reset()  # drop warmup compile spikes from the percentiles
     t0 = time.perf_counter()
     run(slam, frames)
     wall = time.perf_counter() - t0
@@ -248,6 +276,7 @@ def bench_e2e():
         nxt = min(max(i + 1, arrived), n_frames)
         dropped += nxt - (i + 1)
         i = nxt
+    rt.finish()
     rt_tracked = len(rt.trajectory)
     print(f"realtime@30fps: processed {done}/{n_frames}, dropped {dropped} "
           f"({100.0*dropped/n_frames:.1f}%), tracked {rt_tracked}",

@@ -77,9 +77,11 @@ class SlamConfig:
     max_obs: int = 32
     local_ba_kf: int = 24      # local-KF budget for local BA
     local_ba_fixed: int = 24   # fixed-KF budget
-    local_ba_points: int = 4096  # point capacity (ONE static shape -> one
-                                 # XLA program for every local BA call)
-    local_ba_obs: int = 16384  # observation budget for local BA
+    local_ba_points: int = 2048  # point capacity (ONE static shape -> one
+                                 # XLA program for every local BA call; a
+                                 # local map rarely holds more live points —
+                                 # overflow keeps the best-anchored ones)
+    local_ba_obs: int = 8192   # observation budget for local BA
 
     # essential-graph edge capacity (static shape for the pose-graph LM)
     eg_edges: int = 2048

@@ -132,9 +132,11 @@ def build_frame(
         "angle": feats.angle, "response": feats.response,
         "desc": feats.desc, "valid": feats.valid,
     }
-    f = Frame(frame_id=frame_id, timestamp=timestamp,
-              n_feat=int(feats.valid.shape[0]), dev=dev)
-    return f.materialize()
+    # lazy: the features stay on device until something host-side actually
+    # reads them (one batched pull then) — a frame that only feeds the
+    # jitted init/track kernels never pays the ~25 ms pull RPC
+    return Frame(frame_id=frame_id, timestamp=timestamp,
+                 n_feat=int(feats.valid.shape[0]), dev=dev)
 
 
 def predict_scale_level(dist: np.ndarray, max_dist: np.ndarray, scale_factor: float,

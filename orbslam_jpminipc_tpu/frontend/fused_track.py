@@ -191,16 +191,19 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
             radius_mult=3.0, nn_ratio=0.9, n_rounds=2,
         )
         # recovery pass: at motion-model breakdowns (direction reversals,
-        # accelerations) the prediction error exceeds the pass-1 radius and
-        # inliers collapse for one frame. The reference re-searches with a
-        # doubled window and falls back to a 200 px window search
+        # accelerations, dropped-frame gaps) the prediction error exceeds
+        # the pass-1 radius and inliers collapse for one frame. The
+        # reference re-searches with a doubled window and falls back to a
+        # 200 px window search from the LAST pose, no motion model
         # (ORBmatcher.cc:1600-1616, TrackPreviousFrame :526-592); here one
-        # extra ~10x-radius pass from the same prediction fills that role.
+        # extra ~25x-radius pass (~100 px at level 0) from the un-predicted
+        # previous pose fills that role.
         def wide_recovery(_):
             r, _, _, _, _ = match_pass(
-                R0, t0, xyz, normal, mind, maxd, anchor, desc,
+                orthonormalize(R_prev), t_prev,
+                xyz, normal, mind, maxd, anchor, desc,
                 xy_un, feats.desc, feats.level, feats.valid,
-                radius_mult=10.0, nn_ratio=0.9, n_rounds=2,
+                radius_mult=25.0, nn_ratio=0.9, n_rounds=2,
             )
             return r.R, r.t, r.n_inliers
 

@@ -63,6 +63,26 @@ _window_search = jax.jit(
     matching.window_search,
     static_argnames=("max_dist", "min_level", "max_level", "check_rotation"),
 )
+
+
+@jax.jit
+def _init_attempt(key, d0, xy0, a0, v0, lvl0,
+                  d1, xy1un, a1, lvl1, v1, K4):
+    """One initialization attempt as ONE program: level-0 window match
+    (SearchForInitialization, win=100, ORBmatcher.cc:598-713) + the batched
+    dual-model H||F RANSAC (Initializer::Initialize). A single result pull
+    replaces the match-pull -> host-check -> init-pull round trips (~25 ms
+    of tunnel latency apiece) — in a live-camera setting every RPC drops a
+    frame (src/Tracking.cc:166-189's depth-1 image queue)."""
+    m = matching.window_search(
+        d0, xy0, a0, v0, d1, xy1un, a1, lvl1, v1,
+        window_px=100.0, max_dist=50, nn_ratio=0.9,
+        min_level=0, max_level=0, check_rotation=True,
+    )
+    mask = m.mask & (lvl0 == 0)
+    uv2 = xy1un[m.idx]
+    res = initializer.initialize(key, xy0, uv2, mask, K4)
+    return jnp.sum(v1), m.idx, mask, res
 _search_proj = jax.jit(
     matching.search_by_projection, static_argnames=("max_dist", "level_window")
 )
@@ -380,30 +400,36 @@ class Tracker:
             self.init_frame = frame
             self.state = TrackState.INITIALIZING
 
+    @staticmethod
+    def _feat(frame: Frame, name: str):
+        """Device array for a feature field: the resident one when the
+        frame is still device-backed (no pull), else an upload of the host
+        copy."""
+        if frame._dev is not None and name in frame._dev:
+            return frame._dev[name]
+        return jnp.array(getattr(frame, name))
+
     def _try_initialize(self, frame: Frame):
         f0 = self.init_frame
-        if frame.n_valid <= 100:
+        # ONE program + ONE pull per attempt (kp-count gate + match +
+        # dual-model RANSAC); a live camera drops a frame per ~30 ms RPC,
+        # so the attempt must not pull candidates / features separately
+        n1, idx, mask, res = jax.device_get(_init_attempt(
+            self._next_key(),
+            self._feat(f0, "desc"), self._feat(f0, "xy_un"),
+            self._feat(f0, "angle"), self._feat(f0, "valid"),
+            self._feat(f0, "level"),
+            self._feat(frame, "desc"), self._feat(frame, "xy_un"),
+            self._feat(frame, "angle"), self._feat(frame, "level"),
+            self._feat(frame, "valid"), jnp.array(self.cfg.K4),
+        ))
+        if int(n1) <= 100:
             self.state = TrackState.NOT_INITIALIZED
             return
-        # level-0 window search (SearchForInitialization, win 100, ratio 0.9)
-        m = _window_search(
-            jnp.array(f0.desc), jnp.array(f0.xy_un), jnp.array(f0.angle), jnp.array(f0.valid),
-            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.angle),
-            jnp.array(frame.level), jnp.array(frame.valid),
-            window_px=100.0, max_dist=50, nn_ratio=0.9,
-            min_level=0, max_level=0, check_rotation=True,
-        )
-        mask = np.asarray(m.mask) & (np.asarray(f0.level) == 0)
         n_matches = int(mask.sum())
         if n_matches < 100:
             self.state = TrackState.NOT_INITIALIZED
             return
-        idx = np.asarray(m.idx)
-        uv2 = frame.xy_un[idx]
-        res = _init(
-            self._next_key(), jnp.array(f0.xy_un), jnp.array(uv2), jnp.array(mask),
-            jnp.array(self.cfg.K4),
-        )
         if not bool(res.success):
             return  # keep trying with the same init frame
         if self.on_initialized is not None:
@@ -457,8 +483,7 @@ class Tracker:
             jnp.array(frame.valid), jnp.array(self.cfg.scale_factors),
             radius=15.0, max_dist=100, nn_ratio=0.9, level_window=(-1, 1),
         )
-        mmask = np.asarray(m.mask)
-        midx = np.asarray(m.idx)
+        mmask, midx = jax.device_get([m.mask, m.idx])
         if mmask.sum() < 20:
             # fallback: wider window search against the last frame's points
             m = _window_search(
@@ -468,8 +493,7 @@ class Tracker:
                 window_px=200.0, max_dist=100, nn_ratio=0.9,
                 min_level=0, max_level=self.cfg.n_levels - 1, check_rotation=True,
             )
-            mmask = np.asarray(m.mask)
-            midx = np.asarray(m.idx)
+            mmask, midx = jax.device_get([m.mask, m.idx])
             if mmask.sum() < 20:
                 return False
 
@@ -488,6 +512,7 @@ class Tracker:
             jnp.array(R0), jnp.array(t0), jnp.array(xw), jnp.array(frame.xy_un),
             jnp.array(w.astype(np.float32)), jnp.array(valid), jnp.array(self.cfg.K4),
         )
+        res = jax.device_get(res)  # one RPC for R/t/inliers/count
         inliers = np.asarray(res.inliers)
         frame.outlier = valid & ~inliers
         frame.point[~valid] = -1
@@ -550,7 +575,8 @@ class Tracker:
             jnp.array(self.map.mp_min_dist[pts_pad] * 0.8),
             jnp.array(self.map.mp_max_dist[pts_pad] * 1.2),
         )
-        ok = np.asarray(ok) & pvalid
+        ok, uv, view_cos, dist = jax.device_get([ok, uv, view_cos, dist])
+        ok = ok & pvalid
         # visibility statistics (Frame::isInFrustum -> IncreaseVisible)
         self.map.mp_visible[pts_pad[ok]] += 1
 
@@ -559,11 +585,11 @@ class Tracker:
         q_valid = ok & ~already
 
         pred = predict_scale_level(
-            np.asarray(dist), self.map.mp_max_dist[pts_pad],
+            dist, self.map.mp_max_dist[pts_pad],
             self.cfg.scale_factor, self.cfg.n_levels,
         )
         # radius by viewing cos (ORBmatcher.cc:127-134): 2.5 or 4.0
-        th = np.where(np.asarray(view_cos) > 0.998, 2.5, 4.0).astype(np.float32)
+        th = np.where(view_cos > 0.998, 2.5, 4.0).astype(np.float32)
         if frame.frame_id < self.last_reloc_frame_id + 2:
             th = th * 5.0  # wider search right after relocalization
 
@@ -575,8 +601,7 @@ class Tracker:
             jnp.array(self.cfg.scale_factors),
             radius=jnp.array(th), max_dist=100, nn_ratio=0.8, level_window=(-1, 1),
         )
-        mmask = np.asarray(m.mask)
-        midx = np.asarray(m.idx)
+        mmask, midx = jax.device_get([m.mask, m.idx])
         frame.point[midx[mmask]] = pts_pad[mmask]
         frame.point_gen[midx[mmask]] = self.map.mp_gen[pts_pad[mmask]]
 
@@ -642,10 +667,9 @@ class Tracker:
                 jnp.array(self.map.kf_feat_valid[kf] & (self.map.kf_point[kf] >= 0)),
                 max_dist=50, nn_ratio=0.75, check_rotation=True,
             )
-            mask = np.asarray(m.mask)
+            mask, idx = jax.device_get([m.mask, m.idx])
             if mask.sum() < 15:
                 continue
-            idx = np.asarray(m.idx)
             mp = np.where(mask, self.map.kf_point[kf][idx], -1)
             valid = mp >= 0
             xw = self.map.mp_xyz[np.clip(mp, 0, self.map.max_mp - 1)]
@@ -655,6 +679,7 @@ class Tracker:
                 jnp.array(valid), jnp.array(self.cfg.K4),
                 jnp.array(max_err.astype(np.float32)),
             )
+            res = jax.device_get(res)
             if not bool(res.success):
                 continue
             frame.point[:] = -1
@@ -691,8 +716,7 @@ class Tracker:
             jnp.array(frame.valid), jnp.array(self.cfg.scale_factors),
             radius=10.0, max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
         )
-        mmask = np.asarray(m.mask)
-        midx = np.asarray(m.idx)
+        mmask, midx = jax.device_get([m.mask, m.idx])
         frame.point[midx[mmask]] = q[mmask]
         frame.point_gen[midx[mmask]] = self.map.mp_gen[q[mmask]]
         ok = self._optimize_frame_pose(frame, frame.R, frame.t, min_inliers=10)

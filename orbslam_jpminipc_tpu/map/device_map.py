@@ -82,10 +82,12 @@ class DeviceMap:
         if len(ids) == 0:
             return
         self.version += 1
-        # pad to a power of two so the scatter program compiles once per
-        # size bucket (same policy as update_point_attributes)
+        # coarse size buckets so the scatter program compiles at most three
+        # times (same policy as update_point_attributes)
         n = len(ids)
-        cap = 1 << max(7, int(np.ceil(np.log2(n))))
+        cap = (256 if n <= 256
+               else 2048 if n <= 2048
+               else 1 << int(np.ceil(np.log2(n))))
         idp = np.concatenate([ids, np.full(cap - n, ids[0], np.int64)])
         rows = [
             idp.astype(np.int32),
@@ -203,7 +205,12 @@ def fuse_kernel(kf_desc, kf_xy, kf_level, kf_feat_valid, kf_R, kf_t,
         q_desc, q_xyz, q_min, q_max, q_valid,
         t_desc, t_xy, t_level, t_valid, Rs, ts,
     )
-    return m.mask, m.idx
+    # compact per row: (cnt, source feature, target feature) of the matched
+    # entries only — ~70 KB pulled instead of ~1.25 MB
+    order = jax.vmap(lambda mk: jnp.argsort(~mk, stable=True)[:FUSE_CANDS])(m.mask)
+    cnt = jnp.sum(m.mask, axis=1, dtype=jnp.int32)
+    dst = jnp.take_along_axis(m.idx, order, axis=1)
+    return cnt, order.astype(jnp.int16), dst.astype(jnp.int16)
 
 
 @mirror_call(7)
@@ -266,11 +273,26 @@ def tri_kernel(kf_desc, kf_xy, kf_angle, kf_level, kf_feat_valid, kf_R, kf_t,
         ok &= (ratio_dist < ratio_octave * ratio_factor) & (
             ratio_dist * ratio_factor > ratio_octave
         )
-        return ok, m.idx, xw
+        # compact: the merge needs only the surviving candidates, so pull
+        # (cnt, feat1, feat2, xw) rows instead of three dense (F,) arrays —
+        # the pull drops from ~680 KB to ~80 KB (the tunnel charges
+        # ~24 us/KB). A stable argsort on ~ok keeps feature order, so the
+        # host's sequential-claim semantics are unchanged. Neighbors
+        # yielding > TRI_CANDS matches lose the tail (cnt reports the true
+        # count; TRI_CANDS=512 is ~3x the most ever seen per pair).
+        order = jnp.argsort(~ok, stable=True)[:TRI_CANDS]
+        return (jnp.sum(ok, dtype=jnp.int32),
+                order.astype(jnp.int16),
+                m.idx[order].astype(jnp.int16),
+                xw[order])
 
     return jax.vmap(per_neighbor)(
         descs2, xys2, angles2, levels2, has2, valids2, Rs2, ts2
     )
+
+
+TRI_CANDS = 512   # per-neighbor triangulation candidate capacity (pull rows)
+FUSE_CANDS = 256  # per-target fuse match capacity (pull rows)
 
 
 @mirror_call(2)
@@ -294,6 +316,31 @@ def local_ba_kernel(kf_xy, kf_level,
         obs_valid=obs_valid, K4=K4,
     )
     return ba.two_stage_local_ba(prob)
+
+
+@mirror_call(4)
+def attrs_kernel(kf_desc, kf_level, kf_R, kf_t,
+                 obs_kf, obs_feat, xyz, ref_slot, scale_factors):
+    """Point-attribute refresh with observations gathered from the mirror
+    (MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth,
+    MapPoint.cc:185-312): the upload is the (n, O) observation index lists
+    (~0.3 MB) instead of the gathered descriptors/centers (~3 MB — at the
+    tunnel's ~95 MB/s that transfer alone cost more than every mapping
+    kernel combined)."""
+    from .map_state import attrs_math
+
+    max_kf = kf_R.shape[0]
+    obs_kf = obs_kf.astype(jnp.int32)
+    obs_feat = obs_feat.astype(jnp.int32)
+    valid = obs_kf >= 0
+    kf_safe = jnp.clip(obs_kf, 0, max_kf - 1)
+    descs = kf_desc[kf_safe, obs_feat]              # (n, O, 32)
+    levels = kf_level[kf_safe, obs_feat]
+    R = kf_R[kf_safe]                               # (n, O, 3, 3)
+    t = kf_t[kf_safe]
+    centers = -jnp.einsum("noji,noj->noi", R, t)
+    return attrs_math(descs, valid, xyz, centers, levels, ref_slot,
+                      scale_factors)
 
 
 @mirror_call(6)

@@ -333,40 +333,58 @@ class MapState:
         if cand.max() > 0:
             self.kf_parent[k] = int(cand.argmax())
 
-    def update_point_attributes(self, ids: np.ndarray, scale_factors: np.ndarray):
+    def update_point_attributes(self, ids: np.ndarray, scale_factors: np.ndarray,
+                                dmap=None):
         """Recompute distinctive descriptor + normal + depth band for the
         given points (MapPoint::ComputeDistinctiveDescriptors :185-250 and
         UpdateNormalAndDepth :273-312), batched on device."""
-        pending = self.update_point_attributes_async(ids, scale_factors)
+        pending = self.update_point_attributes_async(ids, scale_factors, dmap)
         if pending is not None:
             self.apply_point_attributes(pending)
 
-    def update_point_attributes_async(self, ids, scale_factors):
+    def update_point_attributes_async(self, ids, scale_factors, dmap=None):
         """Dispatch the attrs computation; returns an opaque pending handle
         for apply_point_attributes. The caller may delay the apply (one
-        device->host pull) to overlap the compute with other work."""
+        device->host pull) to overlap the compute with other work. With a
+        DeviceMap the observation operands are gathered on device (the
+        upload is index lists, not descriptors)."""
         if len(ids) == 0:
             return None
-        # pad to the next power of two: the batch size varies per call, and
-        # each distinct shape would compile a fresh _point_attrs program
-        # (seconds apiece through a remote-compile TPU path). Pad rows
+        # COARSE size buckets (256 / 2048 / pow2 beyond): the batch size
+        # varies per call and each distinct shape compiles a fresh program
+        # (seconds apiece through the remote-compile TPU path) — with the
+        # mirror gather the padded upload is only index lists, so padding
+        # generously is far cheaper than a mid-run compile. Pad rows
         # duplicate ids[0]; their outputs are discarded by the writeback.
         n_real = len(ids)
-        cap = 1 << max(7, int(np.ceil(np.log2(n_real))))
+        cap = (256 if n_real <= 256
+               else 2048 if n_real <= 2048
+               else 1 << int(np.ceil(np.log2(n_real))))
         ids = np.concatenate([ids, np.full(cap - n_real, ids[0], ids.dtype)])
         obs_kf = self.mp_obs_kf[ids]
         obs_feat = np.clip(self.mp_obs_feat[ids], 0, self.n_feat - 1)
-        valid = obs_kf >= 0
-        kf_safe = np.clip(obs_kf, 0, self.max_kf - 1)
-        descs = self.kf_desc[kf_safe, obs_feat]            # (n, MAX_OBS, 32)
-        levels = self.kf_level[kf_safe, obs_feat]
-        centers = -np.einsum("koji,koj->koi", self.kf_R[kf_safe], self.kf_t[kf_safe])
         ref_slot = np.argmax(obs_kf == self.mp_ref_kf[ids][:, None], axis=1)
-        outs = _point_attrs(
-            descs, valid, self.mp_xyz[ids],
-            centers.astype(np.float32), levels, ref_slot.astype(np.int64),
-            scale_factors,
-        )
+        if dmap is not None:
+            from .device_map import attrs_kernel
+
+            # int16 index lists: halves the upload (max_kf/n_feat < 32768)
+            outs = attrs_kernel(
+                dmap.kf_desc, dmap.kf_level, dmap.kf_R, dmap.kf_t,
+                obs_kf.astype(np.int16), obs_feat.astype(np.int16),
+                self.mp_xyz[ids].astype(np.float32),
+                ref_slot.astype(np.int32), scale_factors,
+            )
+        else:
+            valid = obs_kf >= 0
+            kf_safe = np.clip(obs_kf, 0, self.max_kf - 1)
+            descs = self.kf_desc[kf_safe, obs_feat]        # (n, MAX_OBS, 32)
+            levels = self.kf_level[kf_safe, obs_feat]
+            centers = -np.einsum("koji,koj->koi", self.kf_R[kf_safe], self.kf_t[kf_safe])
+            outs = _point_attrs(
+                descs, valid, self.mp_xyz[ids],
+                centers.astype(np.float32), levels, ref_slot.astype(np.int64),
+                scale_factors,
+            )
         from ..utils.pull import pull_pool
 
         return (ids[:n_real], self.mp_gen[ids[:n_real]].copy(),
@@ -401,9 +419,9 @@ def _covis_matmul(M: jax.Array) -> jax.Array:
 from ..utils.pack import packed_call
 
 
-@packed_call
-def _point_attrs(descs, valid, xyz, centers, levels, ref_slot, scale_factors):
-    """Batched distinctive-descriptor + normal/depth computation.
+def attrs_math(descs, valid, xyz, centers, levels, ref_slot, scale_factors):
+    """Batched distinctive-descriptor + normal/depth computation (jit-safe
+    math shared by the packed-transfer and the device-mirror kernels).
 
     descs: (n, O, 32) uint8; valid: (n, O); xyz: (n, 3); centers: (n, O, 3)
     camera centers; levels: (n, O); ref_slot: (n,) index of the reference
@@ -447,3 +465,8 @@ def _point_attrs(descs, valid, xyz, centers, levels, ref_slot, scale_factors):
     dmax = ref_dist * level_factor
     dmin = dmax / scale_factors[n_levels - 1]
     return desc, normal, dmin, dmax
+
+
+# packed-transfer variant (host-gathered operands, ONE upload): used by the
+# rare host-only paths (init, global BA refresh, tests without a mirror)
+_point_attrs = packed_call(attrs_math)

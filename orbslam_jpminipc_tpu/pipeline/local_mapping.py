@@ -96,19 +96,38 @@ class LocalMapper:
               "fuse_d", "fuse_m", "ba_d", "ba_m", "cull_kf")
     DISPATCH_STAGES = ("triangulate_d", "fuse_d", "ba_d")
 
+    def stage_ready(self, kf: int, stage: str) -> bool:
+        """True when running `stage` now would not block on an in-flight
+        async pull. The System skips the mapping tick for a frame instead
+        of stalling the tracker behind a device kernel + pull RPC."""
+        if stage == "triangulate_m":
+            p = self._tri_pending
+            return p is None or p[0] != kf or p[2].done()
+        if stage == "fuse_m":
+            p = self._fuse_pending
+            return p is None or p[0] != kf or p[4].done()
+        if stage == "ba_m":
+            p = self._ba_pending
+            return p is None or p[0] != kf or p[6].done()
+        return True
+
     def run_stage(self, kf: int, stage: str):
         from ..utils.tracing import get_tracer
 
         # apply the previous slot's deferred attrs writeback first — its
-        # device compute overlapped the interleaved tracking
-        self.drain_attrs()
+        # device compute overlapped the interleaved tracking (skip rather
+        # than block when the pull has not landed yet)
+        self.drain_attrs(force=False)
         with get_tracer().stage(f"map_{stage}"):
             self._run_stage(kf, stage)
 
-    def drain_attrs(self):
+    def drain_attrs(self, force: bool = True):
         """Apply a deferred attrs computation (one pull + host writeback +
-        mirror sync)."""
+        mirror sync). force=False skips (keeps it pending) when the async
+        pull hasn't landed yet."""
         pending = self._attrs_inflight
+        if pending is not None and not (force or pending[2].done()):
+            return
         self._attrs_inflight = None
         if pending is not None:
             from ..utils.tracing import get_tracer
@@ -243,7 +262,7 @@ class LocalMapper:
         if not st.kf_valid[kf]:
             return
         with tracer.stage("tri_m_pull"):
-            ok, idx, xw = outs.result()
+            cnt, f1c, f2c, xwc = outs.result()
 
         # sequential claim: a feature triangulated against an earlier (more
         # covisible) neighbor is excluded from later ones, mirroring the
@@ -255,24 +274,33 @@ class LocalMapper:
         for b, kn in enumerate(active):
             if not st.kf_valid[kn]:
                 continue
-            feats1 = np.nonzero(ok[b] & ~claimed)[0]
+            n_b = min(int(cnt[b]), f1c.shape[1])
+            if n_b == 0:
+                continue
+            feats1 = f1c[b][:n_b].astype(np.int64)
+            idx2 = f2c[b][:n_b].astype(np.int64)
+            xws = xwc[b][:n_b]
+            keep = ~claimed[feats1]
+            feats1, idx2, xws = feats1[keep], idx2[keep], xws[keep]
             if len(feats1) == 0:
                 continue
             n_free = int((~st.mp_valid).sum())
             if n_free < len(feats1):
                 feats1 = feats1[:n_free]
+                idx2 = idx2[:n_free]
+                xws = xws[:n_free]
                 if len(feats1) == 0:
                     break
             ids = st.add_points(
-                xw[b][feats1], st.kf_desc[kf][feats1], ref_kf=kf,
+                xws, st.kf_desc[kf][feats1], ref_kf=kf,
                 first_kf_id=st.next_kf_id - 1,
             )
             if add_observations_native(st, kf, feats1, ids) is None:
-                for mp_id, f1 in zip(ids, feats1):
-                    st.add_observation(int(mp_id), kf, int(f1))
-            if add_observations_native(st, kn, idx[b][feats1], ids) is None:
-                for mp_id, f1 in zip(ids, feats1):
-                    st.add_observation(int(mp_id), kn, int(idx[b][f1]))
+                for mp_id, fi in zip(ids, feats1):
+                    st.add_observation(int(mp_id), kf, int(fi))
+            if add_observations_native(st, kn, idx2, ids) is None:
+                for mp_id, f2 in zip(ids, idx2):
+                    st.add_observation(int(mp_id), kn, int(f2))
             self.probation.extend(
                 (int(i), int(st.mp_gen[i])) for i in ids
             )
@@ -381,17 +409,21 @@ class LocalMapper:
         _, sel, n_act, q, outs = self._fuse_pending
         self._fuse_pending = None
         with tracer.stage("fuse_m_pull"):
-            mask, idx = outs.result()
+            cnt, srcs, dsts = outs.result()
         T = FUSE_TARGETS
+        C = srcs.shape[1]
         touched: list[int] = []
+
+        def row(i):
+            n = min(int(cnt[i]), C)
+            return srcs[i][:n].astype(np.int64), dsts[i][:n].astype(np.int64)
+
         if st.kf_valid[kf]:
             for i in range(n_act):
                 if st.kf_valid[sel[i]]:
-                    touched.extend(
-                        self._merge_fuse(q[i], int(sel[i]), mask[i], idx[i]))
+                    touched.extend(self._merge_fuse(q[i], int(sel[i]), *row(i)))
             for i in range(n_act):
-                touched.extend(
-                    self._merge_fuse(q[T + i], kf, mask[T + i], idx[T + i]))
+                touched.extend(self._merge_fuse(q[T + i], kf, *row(T + i)))
         with tracer.stage("fuse_m_attrs"):
             self._flush_attrs(kf, touched)
 
@@ -399,6 +431,9 @@ class LocalMapper:
         """The per-keyframe attrs pass: one device call over the union of
         the KF's live points, the points created this round, and fuse-
         touched points."""
+        # a still-undrained previous attrs pass must land first — its slot
+        # is about to be overwritten
+        self.drain_attrs(force=True)
         st, cfg = self.map, self.cfg
         pts = st.kf_point[kf] if st.kf_valid[kf] else np.zeros(0, np.int64)
         live = np.unique(pts[pts >= 0]) if len(pts) else pts
@@ -412,22 +447,24 @@ class LocalMapper:
         if len(ids) == 0:
             return
         # dispatch now, apply at the next mapping slot (drain_attrs): the
-        # device compute + pull overlap the interleaved tracking
+        # device compute + pull overlap the interleaved tracking; operands
+        # gather from the mirror (index-only upload)
         self._attrs_inflight = st.update_point_attributes_async(
-            ids, cfg.scale_factors)
+            ids, cfg.scale_factors, dmap=self.dmap)
 
-    def _merge_fuse(self, q_ids, dst_kf: int, mask, idx) -> list[int]:
+    def _merge_fuse(self, q_ids, dst_kf: int, f_srcs, f_dsts) -> list[int]:
         """Merge bookkeeping after a fuse search (ORBmatcher.cc:1083-1091).
         The batched searches all saw the pre-fuse map snapshot, so stale
         rows (point already replaced by an earlier merge) are re-checked.
+        Takes the compacted (source feature, target feature) match lists.
         Returns the touched map-point ids (for the device-mirror sync)."""
         st = self.map
         touched = []
-        for f_src in np.nonzero(mask)[0]:
+        for f_src, f_dst_c in zip(f_srcs, f_dsts):
             mp = int(q_ids[f_src])
             if mp < 0 or not st.mp_valid[mp]:
                 continue
-            f_dst = int(idx[f_src])
+            f_dst = int(f_dst_c)
             existing = int(st.kf_point[dst_kf, f_dst])
             if existing == mp:
                 continue

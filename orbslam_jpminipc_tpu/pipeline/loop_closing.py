@@ -47,6 +47,9 @@ class LoopCloser:
         self.covisibility_consistency_th = 3
         self.rng_key = jax.random.key(cfg.seed + 1)
         self.on_loop_closed = None  # fn(kf) hook
+        # device mirror (wired by the System): the post-correction attrs
+        # refresh gathers its operands on device instead of re-uploading
+        self.dmap = None
 
     def _next_key(self):
         self.rng_key, sub = jax.random.split(self.rng_key)
@@ -593,8 +596,15 @@ class LoopCloser:
         live = np.nonzero(valid)[0]
         st.kf_R[live] = R_new[live]
         st.kf_t[live] = (t_new[live] / s_new[live, None]).astype(np.float32)
-        # refresh normals/depth bands after the deformation (:1716)
-        st.update_point_attributes(np.nonzero(st.mp_valid)[0], cfg.scale_factors)
+        # refresh normals/depth bands after the deformation (:1716); the
+        # mirror is refreshed first so the attrs kernel sees the corrected
+        # poses/points on device
+        if self.dmap is not None:
+            self.dmap.sync_all(st)
+        ids = np.nonzero(st.mp_valid)[0]
+        st.update_point_attributes(ids, cfg.scale_factors, dmap=self.dmap)
+        if self.dmap is not None:
+            self.dmap.sync_points(st, ids)
 
 
 def _compose_np(a, b):

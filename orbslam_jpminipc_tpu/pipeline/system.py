@@ -42,6 +42,8 @@ class Slam:
         self.tracker.on_initialized = self._create_initial_map
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.tracker.dmap = self.mapper.dmap
+        if self.loop_closer is not None:
+            self.loop_closer.dmap = self.mapper.dmap
         if cfg.async_mapping:
             self.tracker.mapper_busy = lambda: bool(self.pending)
         self.frame_count = 0
@@ -117,7 +119,8 @@ class Slam:
         if frame is not None and frame.R is not None:
             self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
         n_kf = int(self.map.kf_valid.sum())
-        if state == TrackState.LOST and 0 < n_kf <= 5:
+        if (state == TrackState.LOST and 0 < n_kf <= 5
+                and not getattr(self, "_warming", False)):
             self.reset()
         self._last_result = (state, frame)
 
@@ -133,6 +136,14 @@ class Slam:
         with self.tracer.stage("mapping"):
             for _ in range(2):
                 if not self.pending:
+                    break
+                kf, stages = self.pending[0]
+                if (self.map.kf_valid[kf]
+                        and not self.mapper.stage_ready(kf, stages[0])):
+                    # the stage would block on a device kernel / pull RPC
+                    # still in flight: skip mapping this frame, the tracker
+                    # keeps streaming (the reference's tracker never waits
+                    # for its mapper thread either)
                     break
                 stage = self._run_pending_stage()
                 if stage in LocalMapper.DISPATCH_STAGES:
@@ -178,6 +189,196 @@ class Slam:
         self.mapper.drain_attrs()
         self.tracker.refresh_fused_slice()
 
+    def warmup(self):
+        """Compile every steady-state AND recovery-path program before live
+        frames arrive (a real-time system cannot hiccup seconds on a
+        mid-run XLA compile; the reference never compiles at runtime).
+
+        Two phases: (1) the explicit shape matrix — every jitted tracking /
+        relocalization / loop-closing program at every feature-count
+        combination the FSM can produce (init frames carry 2x features,
+        fused/relocalization frames 1x, local-map and loop queries the
+        padded capacities); (2) a short rendered sequence driving the full
+        pipeline (extractors, fused step, mapping-stage kernels, size
+        buckets). With the persistent compilation cache this costs seconds
+        on later runs."""
+        self._compile_programs()
+        cfg = self.cfg
+        from ..io.dataset import SyntheticSequence
+
+        seq = SyntheticSequence(
+            n_frames=60, width=cfg.width, height=cfg.height,
+            K4=tuple(float(x) for x in cfg.K4), trajectory="xyz", seed=11,
+        )
+        rng = np.random.default_rng(7)
+        noise = rng.integers(0, 256, (cfg.height, cfg.width)).astype(np.uint8)
+        self._warming = True  # disables the LOST auto-reset (_after_track)
+        try:
+            i = 0
+            fps = 30.0
+            # init until WORKING (compiles extract 2x + fused init attempt)
+            while i < 12:
+                state, _ = self.process(seq.get(i)[0], i / fps)
+                i += 1
+                if state == TrackState.WORKING:
+                    break
+            # one fused frame (arms + compiles the fused step), then noise:
+            # fused collapse -> host fallback -> LOST -> relocalization
+            self.process(seq.get(i)[0], i / fps)
+            self.process(noise, (i + 1) / fps)
+            self._drain_inflight(drain_all=True)
+            for j in range(i + 1, i + 4):
+                self.process(seq.get(j)[0], j / fps)
+            # steady fused tracking + the full mapping-stage family
+            for j in range(i + 4, i + 24):
+                self.process(seq.get(j)[0], j / fps)
+            self.finish()
+        finally:
+            self._warming = False
+        self.reset()
+        self.frame_count = 0
+        self.trajectory.clear()
+        self._last_result = (TrackState.NO_IMAGES_YET, None)
+        self.tracer.reset()
+
+    def _compile_programs(self):
+        """Phase 1 of warmup(): invoke every jitted host-path program once
+        per reachable shape combination, with dummy device data. Results
+        are discarded; only the executable caches matter."""
+        import jax
+        from ..frontend import tracking as T
+        from ..solvers import pose_opt, sim3_opt, essential_graph
+        from .loop_closing import _mutual as lc_mutual
+        from .loop_closing import _search_proj as lc_proj
+        from .loop_closing import _solve_sim3 as lc_sim3
+        from .loop_closing import _fuse4 as lc_fuse
+
+        cfg = self.cfg
+        n1 = cfg.n_features           # fused / steady host frames
+        n2 = 2 * cfg.n_features      # init-time frames (2x budget)
+        M = T.MAX_LOCAL_POINTS
+        K4 = jnp.asarray(cfg.K4)
+        sf = jnp.asarray(cfg.scale_factors)
+        key = jax.random.key(0)
+
+        def feats(n):
+            return dict(
+                desc=jnp.zeros((n, 32), jnp.uint8),
+                xy=jnp.zeros((n, 2), jnp.float32),
+                angle=jnp.zeros((n,), jnp.float32),
+                level=jnp.zeros((n,), jnp.int32),
+                valid=jnp.zeros((n,), bool),
+            )
+
+        fs = {n: feats(n) for n in {n1, n2}}
+        outs = []
+        # init attempts: the init frame may be a 2x host frame OR a 1x
+        # fused frame adopted after a reset mid-stream
+        for a in (n1, n2):
+            for b in (n1, n2):
+                f0, f1 = fs[a], fs[b]
+                outs.append(T._init_attempt(
+                    key, f0["desc"], f0["xy"], f0["angle"], f0["valid"],
+                    f0["level"], f1["desc"], f1["xy"], f1["angle"],
+                    f1["level"], f1["valid"], K4))
+        # frame-to-frame tracking: query side = last frame (1x or 2x),
+        # frame side = current (1x or 2x)
+        for a in (n1, n2):
+            for b in (n1, n2):
+                q, f = fs[a], fs[b]
+                outs.append(T._search_proj(
+                    q["desc"], q["xy"], q["level"], q["valid"],
+                    f["desc"], f["xy"], f["level"], f["valid"], sf,
+                    radius=15.0, max_dist=100, nn_ratio=0.9,
+                    level_window=(-1, 1)))
+                outs.append(T._window_search(
+                    q["desc"], q["xy"], q["angle"], q["valid"],
+                    f["desc"], f["xy"], f["angle"], f["level"], f["valid"],
+                    window_px=200.0, max_dist=100, nn_ratio=0.9,
+                    min_level=0, max_level=cfg.n_levels - 1,
+                    check_rotation=True))
+        for b in (n1, n2):
+            f = fs[b]
+            # local-map search (queries padded to the slice capacity) with
+            # both scalar and per-query radius
+            qM = feats(M)
+            outs.append(T._search_proj(
+                qM["desc"], qM["xy"], qM["level"], qM["valid"],
+                f["desc"], f["xy"], f["level"], f["valid"], sf,
+                radius=jnp.zeros((M,), jnp.float32), max_dist=100,
+                nn_ratio=0.8, level_window=(-1, 1)))
+            # relocalization ladder: KF rows are map-capacity (2x) arrays
+            q2 = fs[n2]
+            outs.append(T._search_proj(
+                q2["desc"], q2["xy"], q2["level"], q2["valid"],
+                f["desc"], f["xy"], f["level"], f["valid"], sf,
+                radius=10.0, max_dist=100, nn_ratio=1.0,
+                level_window=(-1, 1)))
+            outs.append(T._mutual(
+                f["desc"], f["angle"], f["valid"],
+                q2["desc"], q2["angle"], q2["valid"],
+                max_dist=50, nn_ratio=0.75, check_rotation=True))
+            outs.append(T._pnp(
+                key, jnp.zeros((b, 3)), f["xy"], f["valid"], K4,
+                jnp.zeros((b,), jnp.float32)))
+            outs.append(pose_opt.optimize_pose(
+                jnp.eye(3), jnp.zeros(3), jnp.zeros((b, 3)), f["xy"],
+                jnp.zeros((b,), jnp.float32), f["valid"], K4))
+        outs.append(T._frustum(
+            jnp.zeros((M, 3)), jnp.eye(3), jnp.zeros(3), K4,
+            jnp.asarray(self.tracker.bounds), jnp.zeros((M, 3)),
+            jnp.zeros((M,)), jnp.zeros((M,))))
+
+        # loop closing (all on 2x keyframe rows + the 4096 guided cap)
+        if self.loop_closer is not None:
+            f2 = fs[n2]
+            outs.append(lc_mutual(
+                f2["desc"], f2["angle"], f2["valid"],
+                f2["desc"], f2["angle"], f2["valid"],
+                max_dist=50, nn_ratio=0.75, check_rotation=True))
+            outs.append(lc_sim3(
+                key, jnp.zeros((n2, 3)), jnp.zeros((n2, 3)),
+                f2["xy"], f2["xy"], f2["valid"], K4,
+                jnp.zeros((n2,), jnp.float32), jnp.zeros((n2,), jnp.float32)))
+            outs.append(sim3_opt.optimize_sim3(
+                jnp.float32(1.0), jnp.eye(3), jnp.zeros(3),
+                jnp.zeros((n2, 3)), jnp.zeros((n2, 3)), f2["xy"], f2["xy"],
+                jnp.zeros((n2,), jnp.float32), jnp.zeros((n2,), jnp.float32),
+                f2["valid"], K4))
+            for q_n in (n2, 4096):
+                qq = feats(q_n)
+                outs.append(lc_proj(
+                    qq["desc"], qq["xy"], qq["level"], qq["valid"],
+                    f2["desc"], f2["xy"], f2["level"], f2["valid"], sf,
+                    radius=10.0, max_dist=100, nn_ratio=1.0,
+                    level_window=(-1, 1)))
+            qq = feats(4096)
+            outs.append(lc_fuse(
+                qq["desc"], qq["xy"], qq["level"], qq["valid"],
+                f2["desc"], f2["xy"], f2["level"], f2["valid"], sf,
+                radius=4.0, max_dist=50))
+            # the Sim3 pose graph at map capacity (one static shape)
+            E = cfg.eg_edges
+            prob = essential_graph.EssentialGraphProblem(
+                s=jnp.ones(cfg.max_kf), R=jnp.tile(jnp.eye(3)[None], (cfg.max_kf, 1, 1)),
+                t=jnp.zeros((cfg.max_kf, 3)),
+                fixed=jnp.ones(cfg.max_kf, bool),
+                e_i=jnp.zeros(E, jnp.int32), e_j=jnp.zeros(E, jnp.int32),
+                e_s=jnp.ones(E), e_R=jnp.tile(jnp.eye(3)[None], (E, 1, 1)),
+                e_t=jnp.zeros((E, 3)), e_valid=jnp.zeros(E, bool),
+            )
+            outs.append(essential_graph.optimize_essential_graph(prob, iterations=20))
+
+        # attrs / mirror-scatter size buckets beyond what a short warmup
+        # sequence reaches
+        st, dm = self.map, self.mapper.dmap
+        for n in (256, 2048):
+            ids = np.zeros(n, np.int64)
+            self.map.update_point_attributes_async(ids, cfg.scale_factors,
+                                                   dmap=dm)
+            dm.sync_points(st, np.arange(n))
+        jax.device_get(jax.tree.leaves(outs)[:1])  # flush the dispatch queue
+
     def reset(self):
         """Full reset (Tracking::Reset, Tracking.cc:1066-1103). In-flight
         pipelined records are NOT cleared: the fused epoch bump marks them
@@ -211,6 +412,7 @@ class Slam:
         if self.loop_closer is not None:
             self.loop_closer.map = self.map
             self.loop_closer.consistent_groups = []
+            self.loop_closer.dmap = self.mapper.dmap
 
     # ------------------------------------------------------------------
     # initial map (Tracking::CreateInitialMap, Tracking.cc:422-524)
@@ -263,16 +465,22 @@ class Slam:
         # every point until the first mapping pass recomputes them. (The
         # reference computes them pre-scale, Tracking.cc:442-467, and
         # tolerates the staleness only because its frame-to-frame tracker
-        # does not consult them; the fused device tracker does.)
-        st.update_point_attributes(ids, cfg.scale_factors)
+        # does not consult them; the fused device tracker does.) Mirror
+        # first so the attrs kernel gathers on device — init runs against
+        # the live camera clock, every ms drops frames.
+        self.mapper.dmap.sync_keyframe(st, kf0)
+        self.mapper.dmap.sync_keyframe(st, kf1)
+        self.mapper.dmap.sync_points(st, ids)
+        st.update_point_attributes(ids, cfg.scale_factors,
+                                   dmap=self.mapper.dmap)
 
         if self.kfdb is not None:
             self.kfdb.add(kf0, st.kf_desc[kf0], st.kf_feat_valid[kf0])
             self.kfdb.add(kf1, st.kf_desc[kf1], st.kf_feat_valid[kf1])
         covis = st.covisibility()
         st.update_spanning_tree(kf1, covis[kf1])
-        self.mapper.dmap.sync_keyframe(st, kf0)
-        self.mapper.dmap.sync_keyframe(st, kf1)
+        # re-sync the attrs writeback into the mirror (keyframe rows and
+        # point geometry were synced before the attrs pass above)
         self.mapper.dmap.sync_points(st, ids)
 
         # frame bookkeeping -> WORKING
@@ -321,10 +529,14 @@ class Slam:
             obs_uv=jnp.array(obs_uv), obs_w=jnp.array(obs_w),
             obs_valid=jnp.array(obs_valid), K4=jnp.array(cfg.K4),
         )
+        import jax
+
         res = ba.bundle_adjust(prob, iterations=iters)
-        st.kf_R[kf1] = np.asarray(res.kf_R[1])
-        st.kf_t[kf1] = np.asarray(res.kf_t[1])
-        st.mp_xyz[ids] = np.asarray(res.points[: len(ids)])
+        kf_R1, kf_t1, points = jax.device_get(
+            (res.kf_R[1], res.kf_t[1], res.points))  # one RPC
+        st.kf_R[kf1] = kf_R1
+        st.kf_t[kf1] = kf_t1
+        st.mp_xyz[ids] = points[: len(ids)]
 
     # ------------------------------------------------------------------
 
@@ -484,10 +696,14 @@ class Slam:
         st.kf_R[live] = kf_R[live]
         st.kf_t[live] = kf_t[live]
         st.mp_xyz[st.mp_valid] = np.asarray(res.points)[st.mp_valid]
-        st.update_point_attributes(
-            np.nonzero(st.mp_valid)[0], cfg.scale_factors
-        )
+        # refresh the mirror FIRST so the attrs pass gathers the post-BA
+        # poses/points on device (index-only upload), then sync the
+        # recomputed attributes back into it
         self.mapper.dmap.sync_all(st)
+        ids = np.nonzero(st.mp_valid)[0]
+        st.update_point_attributes(ids, cfg.scale_factors,
+                                   dmap=self.mapper.dmap)
+        self.mapper.dmap.sync_points(st, ids)
 
     # ------------------------------------------------------------------
 

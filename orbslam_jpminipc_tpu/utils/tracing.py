@@ -49,6 +49,14 @@ class StageTracer:
                     json.dumps({"stage": name, "ms": round(dt * 1e3, 3), **fields}) + "\n"
                 )
 
+    def reset(self):
+        """Drop accumulated samples (e.g. between a compile-warmup segment
+        and the measured run — the tracer is global, so warmup spikes would
+        otherwise pollute the reported percentiles)."""
+        self.totals.clear()
+        self.counts.clear()
+        self.samples.clear()
+
     def log(self, event: str, **fields):
         if self._jsonl is not None:
             self._jsonl.write(json.dumps({"event": event, **fields}) + "\n")
