@@ -274,3 +274,91 @@ class TumDataset:
         ts, rel = self.entries[i]
         img = cv2.imread(os.path.join(self.path, rel), cv2.IMREAD_GRAYSCALE)
         return img, ts, None
+
+
+class PhotometricAugment:
+    """Photometric degradation wrapper over a sequence — the robustness
+    bridge between the clean renderer and real camera data (motion blur,
+    sensor noise, exposure changes, vignetting are what a real fr1-style
+    handheld sequence adds on top of geometry; the reference is validated
+    only on such data, README.md §5).
+
+    Effects (all deterministic in the seed):
+      * motion blur: directional box blur along the dominant image-plane
+        motion between consecutive ground-truth poses (length `blur_px`);
+      * sensor noise: additive Gaussian, sigma `noise_sigma` (DN);
+      * exposure ramp: slow sinusoidal gain in [1-a, 1+a], a=`exposure_amp`
+        (auto-exposure hunting);
+      * vignetting: radial falloff, `vignette` fraction at the corners.
+    """
+
+    def __init__(self, base, blur_px: float = 0.0, noise_sigma: float = 0.0,
+                 exposure_amp: float = 0.0, vignette: float = 0.0,
+                 seed: int = 0):
+        self.base = base
+        self.blur_px = blur_px
+        self.noise_sigma = noise_sigma
+        self.exposure_amp = exposure_amp
+        self.vignette = vignette
+        self.seed = seed
+        self.timestamps = base.timestamps
+        self.poses = base.poses
+        h, w = base.height, base.width
+        yy, xx = np.mgrid[0:h, 0:w]
+        r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2) / 2.0
+        self._vig = (1.0 - vignette * r2).astype(np.float32)
+
+    def __len__(self):
+        return len(self.base)
+
+    def _blur_kernel(self, i: int):
+        if self.blur_px < 1.0 or i == 0:
+            return None
+        # dominant translation direction projected to the image plane
+        R0, t0 = self.base.poses[i - 1]
+        R1, t1 = self.base.poses[i]
+        d = (-R1.T @ t1) - (-R0.T @ t0)
+        dc = R1 @ d  # camera-frame motion
+        v = np.array([dc[0], dc[1]])
+        n = np.linalg.norm(v)
+        v = v / n if n > 1e-9 else np.array([1.0, 0.0])
+        L = max(int(round(self.blur_px)), 1)
+        k = np.zeros((L * 2 + 1, L * 2 + 1), np.float32)
+        for s in np.linspace(-L, L, 2 * L + 1):
+            x, y = int(round(L + s * v[0])), int(round(L + s * v[1]))
+            k[y, x] += 1.0
+        return k / k.sum()
+
+    def get(self, i: int):
+        img, ts, pose = self.base.get(i)
+        out = img.astype(np.float32)
+        k = self._blur_kernel(i)
+        if k is not None:
+            out = cv2.filter2D(out, -1, k)
+        if self.vignette > 0:
+            out = out * self._vig
+        if self.exposure_amp > 0:
+            gain = 1.0 + self.exposure_amp * np.sin(2 * np.pi * i / 60.0)
+            out = out * gain
+        if self.noise_sigma > 0:
+            rng = np.random.default_rng(self.seed * 100003 + i)
+            out = out + rng.normal(0.0, self.noise_sigma, out.shape)
+        return np.clip(out, 0, 255).astype(np.uint8), ts, pose
+
+
+def write_tum_sequence(path: str, seq, n: int | None = None):
+    """Materialize a rendered sequence as a TUM RGB-D directory
+    (rgb.txt + rgb/*.png) so the TumDataset/eval --tum path is exercised
+    end-to-end without real data. Returns the ground-truth pose dict."""
+    os.makedirs(os.path.join(path, "rgb"), exist_ok=True)
+    gt = {}
+    lines = ["# color images", "# file: synthetic", "# timestamp filename"]
+    for i in range(n or len(seq)):
+        img, ts, pose = seq.get(i)
+        rel = f"rgb/{ts:.6f}.png"
+        cv2.imwrite(os.path.join(path, rel), img)
+        lines.append(f"{ts:.6f} {rel}")
+        gt[round(float(ts), 6)] = pose
+    with open(os.path.join(path, "rgb.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return gt

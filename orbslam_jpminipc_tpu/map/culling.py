@@ -46,12 +46,57 @@ def cull_redundant_keyframes(state: MapState, candidates: np.ndarray,
     map-graph runtime when available; the Python loop below is the
     fallback and the reference implementation for tests.
     """
+    candidates = protect_keyframes(state, candidates)
+    if len(candidates) == 0:
+        return []
     from ..native import cull_redundant_keyframes_native
 
     native = cull_redundant_keyframes_native(state, candidates, redundancy)
     if native is not None:
         return native
     return _cull_redundant_keyframes_py(state, candidates, redundancy)
+
+
+def force_free_keyframe(state: MapState) -> int | None:
+    """Graceful degradation at keyframe capacity: erase the most isolated
+    unprotected keyframe (lowest total covisibility weight) so a NEW one
+    can be inserted. The reference never hits this (it has no capacity),
+    but its redundant-KF culling embodies the same policy — keep the
+    keyframes that anchor the most shared observations. Returns the freed
+    slot, or None if every keyframe is protected."""
+    cands = protect_keyframes(state, np.nonzero(state.kf_valid)[0])
+    if len(cands) == 0:
+        return None
+    covis = state.covisibility()
+    w = covis[cands][:, state.kf_valid].sum(axis=1)
+    victim = int(cands[np.argmin(w)])
+    state.erase_keyframe(victim)
+    return victim
+
+
+def protect_keyframes(state: MapState, candidates) -> np.ndarray:
+    """Drop the keyframes the reference never erases from a culling
+    candidate list (KeyFrame::SetBadFlag, src/KeyFrame.cc:501-503):
+
+    * the gauge keyframe (mnId == 0 — here: the valid KF with the smallest
+      frame id; erasing it would delete the fixed vertex local/global BA
+      anchors the gauge on, src/LocalMapping.cc:556 skips it too);
+    * any keyframe holding loop edges (mbNotErase, set permanently by
+      AddLoopEdge, src/KeyFrame.cc:461-472 — erasing one silently deletes
+      essential-graph loop constraints).
+    """
+    candidates = np.asarray(candidates, np.int64).reshape(-1)
+    if len(candidates) == 0:
+        return candidates
+    keep = np.ones(len(candidates), bool)
+    if state.kf_valid.any():
+        valid_ids = np.nonzero(state.kf_valid)[0]
+        gauge = int(valid_ids[np.argmin(state.kf_frame_id[valid_ids])])
+        keep &= candidates != gauge
+    for i, k in enumerate(candidates):
+        if keep[i] and state.kf_loop_edges[int(k)]:
+            keep[i] = False
+    return candidates[keep]
 
 
 def _cull_redundant_keyframes_py(state: MapState, candidates, redundancy=0.9):

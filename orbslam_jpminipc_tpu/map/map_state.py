@@ -111,15 +111,20 @@ class MapState:
     # ------------------------------------------------------------------
 
     def alloc_kf(self) -> int:
+        """Allocate a keyframe slot; -1 when full (graceful degradation:
+        the caller refuses the insertion and the system keeps tracking
+        against the existing map — the reference runs indefinitely because
+        culling bounds growth, LocalMapping.cc:546-600; at a fixed capacity
+        the same culling usually frees slots before this triggers)."""
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
-            raise RuntimeError("keyframe capacity exhausted")
+            return -1
         return int(free[0])
 
     def alloc_mps(self, n: int) -> np.ndarray:
+        """Allocate up to n point slots; may return fewer (or none) when
+        the map is at capacity — callers create what fits."""
         free = np.nonzero(~self.mp_valid)[0]
-        if len(free) < n:
-            raise RuntimeError("map point capacity exhausted")
         return free[:n]
 
     # ------------------------------------------------------------------
@@ -129,6 +134,8 @@ class MapState:
     def add_keyframe(self, R, t, xy, level, angle, desc, feat_valid,
                      frame_id=0, timestamp=0.0) -> int:
         k = self.alloc_kf()
+        if k < 0:
+            return -1
         n = len(feat_valid)  # frames may carry fewer features than capacity
         assert n <= self.n_feat, (n, self.n_feat)
         self.kf_R[k] = R
@@ -206,6 +213,8 @@ class MapState:
 
     def add_points(self, xyz, desc, ref_kf: int, first_kf_id=None) -> np.ndarray:
         ids = self.alloc_mps(len(xyz))
+        xyz = np.asarray(xyz)[: len(ids)]
+        desc = np.asarray(desc)[: len(ids)]
         self.mp_xyz[ids] = xyz
         self.mp_desc[ids] = desc
         self.mp_ref_kf[ids] = ref_kf

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..solvers.ba import BAProblem, _inv3
 from ..solvers.reproj import residuals, jacobians, huber_weight, CHI2_MONO
-from ..geometry.se3 import exp_se3, compose
+from ..geometry.se3 import exp_se3, compose, orthonormalize
 
 
 class ShardedBAProblem(NamedTuple):
@@ -109,7 +109,7 @@ def sharded_bundle_adjust(
 ):
     """LM bundle adjustment with point blocks sharded over `mesh`.
 
-    Returns (kf_R, kf_t, points (S, Pl, 3), chi2).
+    Returns (kf_R, kf_t, points (S, Pl, 3), chi2, obs_outlier (S, Ol)).
     """
     K = sprob.kf_R.shape[0]
 
@@ -177,6 +177,9 @@ def sharded_bundle_adjust(
 
         dR, dt = exp_se3(delta_c)
         R_new, t_new = compose(dR, dt, R, t)
+        R_new = orthonormalize(R_new)  # parity with solvers/ba.py: the
+        # f32 rotation products must stay on SO(3) or long multi-chip runs
+        # re-drift exactly the way commit d7a24c0 diagnosed
         pts_new = pts + delta_p
         # fuse {chi, predicted point-part} into one scalar psum
         chi_local = local_chi2(R_new, t_new, K4, pts_new, obs_kf, obs_pt, obs_uv, obs_w, obs_valid)
@@ -238,7 +241,12 @@ def sharded_bundle_adjust(
         R, t, p, _, _, chi = jax.lax.fori_loop(
             0, iterations, body, (kf_R, kf_t, pts, lam0, jnp.float32(2.0), chi0)
         )
-        return R, t, p[None], chi
+        # outlier classification at the solution — same semantics as the
+        # single-device BAResult.obs_outlier (Optimizer.cc:453-470)
+        e_f, pcam_f = residuals(R[obs_kf], t[obs_kf], p[obs_pt], obs_uv, K4)
+        c_f = jnp.sum(e_f * e_f, axis=-1) * obs_w
+        outlier = obs_valid & ((c_f > CHI2_MONO) | (pcam_f[..., 2] <= 0.0))
+        return R, t, p[None], chi, outlier[None]
 
     shard = P(axis)
     rep = P()
@@ -248,7 +256,7 @@ def sharded_bundle_adjust(
             mesh=mesh,
             in_specs=(rep, rep, rep, rep,
                       shard, shard, shard, shard, shard, shard, shard),
-            out_specs=(rep, rep, shard, rep),
+            out_specs=(rep, rep, shard, rep, shard),
             check_vma=False,
         )
     )

@@ -154,6 +154,9 @@ def _build_sharded_kernel(mesh: Mesh, iterations: int, lam0: float,
             delta = jnp.where(inert[:, None], 0.0, delta)
 
             s_new, R_new, t_new = s3.retract(s_, R_, t_, delta, fix_scale=fix_scale)
+            from ..geometry.se3 import orthonormalize
+
+            R_new = orthonormalize(R_new)  # keep f32 products on SO(3)
             chi_new = total_chi2(s_new, R_new, t_new)
             accept = chi_new < chi
             s_ = jnp.where(accept, s_new, s_)

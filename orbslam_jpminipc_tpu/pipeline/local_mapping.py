@@ -61,6 +61,24 @@ class LocalMapper:
             frame.R, frame.t, frame.xy_un, frame.level, frame.angle, frame.desc,
             frame.valid, frame_id=frame.frame_id, timestamp=frame.timestamp,
         )
+        if kf < 0:
+            # keyframe capacity exhausted: evict the most isolated
+            # unprotected keyframe to make room (VERDICT r03 #5 — refuse
+            # only when everything is protected), so the map can slide
+            # along the trajectory instead of stranding the tracker in
+            # unmapped territory
+            victim = culling.force_free_keyframe(st)
+            if victim is None:
+                return -1
+            if self.kfdb is not None:
+                self.kfdb.erase(victim)
+            kf = st.add_keyframe(
+                frame.R, frame.t, frame.xy_un, frame.level, frame.angle,
+                frame.desc, frame.valid, frame_id=frame.frame_id,
+                timestamp=frame.timestamp,
+            )
+            if kf < 0:
+                return -1
         tracked = np.nonzero((frame.point >= 0) & ~frame.outlier)[0]
         gen_ok = st.mp_gen[frame.point[tracked]] == frame.point_gen[tracked]
         tracked = tracked[gen_ok]
@@ -162,6 +180,8 @@ class LocalMapper:
 
     def process(self, frame: Frame) -> int:
         kf = self.insert_keyframe(frame)
+        if kf < 0:
+            return kf
         for stage in self.STAGES:
             self.run_stage(kf, stage)
         return kf

@@ -548,6 +548,8 @@ class Slam:
             # the reference's InterruptBA semantics (LocalMapping.cc:130-136)
             with self.tracer.stage("mapping"):
                 kf = self.mapper.insert_keyframe(frame)
+            if kf < 0:
+                return  # capacity-refused insertion (alloc_kf)
             self.tracker.ref_kf = kf
             self.tracker.refresh_fused_slice()
             for _, stages in self.pending:
@@ -560,6 +562,8 @@ class Slam:
             return
         with self.tracer.stage("mapping"):
             kf = self.mapper.process(frame)
+        if kf < 0:
+            return  # capacity-refused insertion (alloc_kf)
         self.tracker.ref_kf = kf
         self._loop_close(kf)
         self.tracker.refresh_fused_slice()
@@ -678,12 +682,12 @@ class Slam:
 
             sprob = shard_ba_problem(prob, len(devices))
             mesh = Mesh(np.array(devices), ("points",))
-            R, t, pts_sh, _chi2 = sharded_bundle_adjust(
+            R, t, pts_sh, _chi2, _out = sharded_bundle_adjust(
                 sprob, mesh, iterations=iters)
             res = ba.BAResult(
                 kf_R=R, kf_t=t,
                 points=np.asarray(pts_sh).reshape(-1, 3)[: st.max_mp],
-                chi2=_chi2, obs_outlier=None,
+                chi2=_chi2, obs_outlier=_out,
             )
         else:
             res = gba.bundle_adjust_large(

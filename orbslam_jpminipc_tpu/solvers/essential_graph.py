@@ -134,6 +134,9 @@ def optimize_essential_graph(
         delta = jnp.where(inert[:, None], 0.0, delta)
 
         s_new, R_new, t_new = s3.retract(s, R, t, delta, fix_scale=fix_scale)
+        from ..geometry.se3 import orthonormalize
+
+        R_new = orthonormalize(R_new)  # keep f32 products on SO(3)
         chi_new = total_chi2(s_new, R_new, t_new)
         accept = chi_new < chi
         s = jnp.where(accept, s_new, s)

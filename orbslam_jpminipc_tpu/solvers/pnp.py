@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import camera as cam
+from .epnp import epnp_pose
 
 
 class PnPResult(NamedTuple):
@@ -78,20 +79,24 @@ def solve_pnp(
     max_err2: jax.Array,  # (N,) per-point chi2 gates (5.991 * sigma2)
     n_hyp: int = 256,
     min_inliers: int = 10,
-    min_set: int = 6,
+    min_set: int = 4,
 ) -> PnPResult:
-    """All-hypotheses PnP RANSAC with inlier refit."""
-    n = xw.shape[0]
-    rays = cam.unproject(uv, K4)[..., :2]  # normalized coords
+    """All-hypotheses EPnP RANSAC with inlier refit.
 
+    EPnP minimal sets of 4 (the reference's mRansacMinSet,
+    PnPsolver.cc:93-129) vmapped over n_hyp hypotheses. The reference's
+    adaptive iteration count (:93-129) bounded work on a CPU; the batched
+    program runs a fixed superset of hypotheses in one launch, which is
+    both cheaper per hypothesis and strictly more thorough."""
+    n = xw.shape[0]
     scores = jax.random.uniform(key, (n_hyp, n))
     scores = jnp.where(mask[None, :], scores, -1.0)
     _, sets = jax.lax.top_k(scores, min_set)
 
     w_min = jnp.ones((n_hyp, min_set), xw.dtype)
-    R_h, t_h, ok_h = _dlt_pose(xw[sets], rays[sets], w_min)
+    R_h, t_h, ok_h = epnp_pose(xw[sets], uv[sets], w_min, K4)
 
-    # score hypotheses by inliers over all points
+    # score hypotheses by inliers over all points (CheckInliers :280-311)
     xc = jnp.einsum("hij,nj->hni", R_h, xw) + t_h[:, None, :]
     uv_proj = cam.project(xc, K4)
     err2 = jnp.sum((uv_proj - uv[None]) ** 2, axis=-1)
@@ -99,9 +104,10 @@ def solve_pnp(
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
 
-    # refit on the best hypothesis's inliers (PnPsolver::Refine :232-277)
+    # refit EPnP on the best hypothesis's inliers (PnPsolver::Refine
+    # :232-277 — the reference also re-runs compute_pose on the inlier set)
     w_all = inl[best].astype(xw.dtype)
-    R_r, t_r, ok_r = _dlt_pose(xw[None], rays[None], w_all[None])
+    R_r, t_r, ok_r = epnp_pose(xw[None], uv[None], w_all[None], K4)
     R_r, t_r, ok_r = R_r[0], t_r[0], ok_r[0]
     xc_r = jnp.einsum("ij,nj->ni", R_r, xw) + t_r
     err2_r = jnp.sum((cam.project(xc_r, K4) - uv) ** 2, axis=-1)

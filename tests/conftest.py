@@ -22,6 +22,11 @@ _NEEDS_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and not os.environ.
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy soak/integration tests — excluded from the default "
+        "(fast, <=10 min) tier; run with SLAM_SLOW_TESTS=1",
+    )
     if _NEEDS_REEXEC:
         capman = config.pluginmanager.getplugin("capturemanager")
         if capman is not None:
@@ -53,3 +58,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast/slow tiers (VERDICT r03 #9): the default invocation
+    (`python -m pytest tests/ -x -q`) must gate in <= 10 min, so tests
+    marked `slow` (long soaks, heavyweight integration) are skipped unless
+    SLAM_SLOW_TESTS=1 is set."""
+    import pytest as _pytest
+
+    if os.environ.get("SLAM_SLOW_TESTS"):
+        return
+    skip = _pytest.mark.skip(reason="slow tier (set SLAM_SLOW_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

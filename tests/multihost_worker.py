@@ -76,7 +76,7 @@ def main():
     prob = build_problem()
     mesh = global_mesh("points")
     sprob = lift_sharded_problem(shard_ba_problem(prob, nproc), mesh)
-    R, t, pts, chi2 = sharded_bundle_adjust(sprob, mesh, iterations=10)
+    R, t, pts, chi2, _out = sharded_bundle_adjust(sprob, mesh, iterations=10)
     R = np.asarray(R)
     t = np.asarray(t)
     chi2 = float(chi2)

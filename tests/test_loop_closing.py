@@ -287,3 +287,34 @@ class TestOrbitLoopEndToEnd:
         # full 360-degree sweep, ~1.4 m extent: stay under 4% of extent
         # after the loop correction rewrites every pose
         assert ate < 0.05, ate
+
+
+def test_culling_protects_gauge_and_loop_keyframes(scene):
+    """VERDICT r03 #2: the reference never erases KF0 (mnId==0,
+    src/KeyFrame.cc:501-503 + LocalMapping.cc:556) or a keyframe holding
+    loop edges (mbNotErase, permanent after AddLoopEdge,
+    src/KeyFrame.cc:461-472). Close a loop, then drive culling over every
+    keyframe with redundancy=0 (cull anything cullable) and assert the
+    gauge KF and the loop anchors survive with their loop edges."""
+    from orbslam_jpminipc_tpu.map import culling
+
+    cfg, st, kfdb = scene
+    lc = LoopCloser(cfg, st, kfdb)
+    closed = [lc.process(k) for k in (5, 6, 7, 8)]
+    assert any(closed), "loop was never closed"
+    loop_kfs = [k for k in range(st.max_kf)
+                if st.kf_valid[k] and st.kf_loop_edges[k]]
+    assert loop_kfs, "no loop edges recorded"
+    edges_before = {k: set(st.kf_loop_edges[k]) for k in loop_kfs}
+    valid_ids = np.nonzero(st.kf_valid)[0]
+    gauge = int(valid_ids[np.argmin(st.kf_frame_id[valid_ids])])
+
+    candidates = np.nonzero(st.kf_valid)[0]
+    culling.cull_redundant_keyframes(st, candidates, redundancy=0.0)
+
+    assert st.kf_valid[gauge], "gauge keyframe was culled"
+    for k in loop_kfs:
+        assert st.kf_valid[k], f"loop-edge keyframe {k} was culled"
+        assert st.kf_loop_edges[k] == edges_before[k], "loop edges changed"
+    # sanity: the aggressive pass did cull something unprotected
+    assert st.kf_valid.sum() < len(valid_ids)

@@ -18,11 +18,11 @@ def make_cfg(**kw):
     # frame-synchronous semantics by default: these tests assert per-frame
     # states; the pipelined test overrides it
     kw.setdefault("pipelined_tracking", False)
-    return SlamConfig(
-        fx=500.0, fy=500.0, cx=320.0, cy=240.0,
-        n_features=600, max_kf=64, max_mp=8192, local_ba_obs=8192,
-        **kw,
-    )
+    kw.setdefault("n_features", 600)
+    kw.setdefault("max_kf", 64)
+    kw.setdefault("max_mp", 8192)
+    kw.setdefault("local_ba_obs", 8192)
+    return SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, **kw)
 
 
 @pytest.fixture(scope="module")

@@ -164,3 +164,70 @@ class TestPnP:
             jnp.ones(n, bool), K4, jnp.full(n, 5.991, jnp.float32),
         )
         assert not bool(res.success)
+
+
+class TestEPnP:
+    def test_epnp_matches_cv2_oracle(self, rng):
+        """epnp_pose vs cv2.solvePnP(SOLVEPNP_EPNP) on clean
+        correspondences — same algorithm, same answer (to the GN noise
+        floor)."""
+        import cv2
+        from orbslam_jpminipc_tpu.solvers.epnp import epnp_pose
+        import jax.numpy as jnp
+
+        K4 = np.array([500.0, 500.0, 320.0, 240.0], np.float32)
+        Kcv = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1]], np.float64)
+        for trial in range(5):
+            n = 12
+            xw = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                           rng.uniform(-1, 1, n)], 1).astype(np.float32)
+            rvec = rng.normal(0, 0.4, 3)
+            R_true, _ = cv2.Rodrigues(rvec)
+            t_true = np.array([0.2, -0.1, 4.0]) + rng.normal(0, 0.2, 3)
+            xc = xw @ R_true.T + t_true
+            uv = np.stack([500 * xc[:, 0] / xc[:, 2] + 320,
+                           500 * xc[:, 1] / xc[:, 2] + 240], 1).astype(np.float32)
+
+            R, t, ok = epnp_pose(jnp.asarray(xw)[None], jnp.asarray(uv)[None],
+                                 jnp.ones((1, n), jnp.float32), jnp.asarray(K4))
+            assert bool(ok[0]), trial
+            R, t = np.asarray(R[0]), np.asarray(t[0])
+            _, rvec_cv, tvec_cv = cv2.solvePnP(
+                xw.astype(np.float64), uv.astype(np.float64), Kcv, None,
+                flags=cv2.SOLVEPNP_EPNP)
+            R_cv, _ = cv2.Rodrigues(rvec_cv)
+            np.testing.assert_allclose(R, R_true, atol=5e-3)
+            np.testing.assert_allclose(t, t_true, atol=2e-2)
+            np.testing.assert_allclose(R, R_cv, atol=1e-2)
+
+    def test_epnp_ransac_degenerate_near_planar(self, rng):
+        """VERDICT r03 #7 stress: near-planar scene + 40% outliers — the
+        regime where DLT minimal sets lose conditioning but EPnP's control-
+        point parameterization holds."""
+        import jax
+        import jax.numpy as jnp
+        import cv2
+
+        K4 = jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32)
+        n = 80
+        xw = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                       rng.normal(0, 0.02, n)], 1).astype(np.float32)  # near-planar
+        rvec = rng.normal(0, 0.3, 3)
+        R_true, _ = cv2.Rodrigues(rvec)
+        t_true = np.array([0.1, 0.0, 4.0], np.float64)
+        xc = xw @ R_true.T + t_true
+        uv = np.stack([500 * xc[:, 0] / xc[:, 2] + 320,
+                       500 * xc[:, 1] / xc[:, 2] + 240], 1).astype(np.float32)
+        uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
+        n_out = int(0.4 * n)
+        out_idx = rng.choice(n, n_out, replace=False)
+        uv[out_idx] = rng.uniform(0, 640, (n_out, 2)).astype(np.float32)
+
+        res = pnp.solve_pnp(
+            jax.random.key(0), jnp.asarray(xw), jnp.asarray(uv),
+            jnp.ones(n, bool), K4, jnp.full((n,), 5.991 * 4.0, jnp.float32),
+        )
+        assert bool(res.success)
+        assert int(res.n_inliers) >= 0.8 * (n - n_out), int(res.n_inliers)
+        np.testing.assert_allclose(np.asarray(res.R), R_true, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(res.t), t_true, atol=0.05)

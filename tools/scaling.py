@@ -102,7 +102,7 @@ def main():
         sprob = shard_ba_problem(gprob, n)
         dt = time_call(lambda: sharded_bundle_adjust(sprob, mesh, iterations=iters))
         out["gba_ms_per_iter"][n] = round(dt / iters, 2)
-        R, t, pts, chi = sharded_bundle_adjust(sprob, mesh, iterations=iters)
+        R, t, pts, chi, _out = sharded_bundle_adjust(sprob, mesh, iterations=iters)
         flat = np.asarray(pts).reshape(-1, 3)[: gprob.points.shape[0]]
         if ref_pts is None:
             ref_pts = flat
