@@ -254,11 +254,16 @@ def bench_e2e():
     # jit caches are module-level, so one warmed instance warms them all)
     Slam(cfg, vocab=voc).warmup()
 
-    slam = Slam(cfg, vocab=voc)
-    slam.tracer.reset()  # drop warmup compile spikes from the percentiles
-    t0 = time.perf_counter()
-    run(slam, frames)
-    wall = time.perf_counter() - t0
+    # best-of-2 sequential runs: the tunnel's per-RPC latency varies
+    # several-fold run to run (shared infrastructure), same policy as
+    # stream_time's best-of-reps
+    wall = float("inf")
+    for _ in range(2):
+        slam = Slam(cfg, vocab=voc)
+        slam.tracer.reset()  # drop prior-run samples from the percentiles
+        t0 = time.perf_counter()
+        run(slam, frames)
+        wall = min(wall, time.perf_counter() - t0)
     fps = n_frames / wall
 
     # real-time mode: consume against the 30 fps camera clock and DROP late

@@ -59,10 +59,7 @@ class FusedRecord:
         self.future = future
 
 
-_window_search = jax.jit(
-    matching.window_search,
-    static_argnames=("max_dist", "min_level", "max_level", "check_rotation"),
-)
+
 
 
 @jax.jit
@@ -83,12 +80,7 @@ def _init_attempt(key, d0, xy0, a0, v0, lvl0,
     uv2 = xy1un[m.idx]
     res = initializer.initialize(key, xy0, uv2, mask, K4)
     return jnp.sum(v1), m.idx, mask, res
-_search_proj = jax.jit(
-    matching.search_by_projection, static_argnames=("max_dist", "level_window")
-)
-_mutual = jax.jit(matching.mutual_match, static_argnames=("max_dist", "check_rotation"))
 _init = jax.jit(initializer.initialize, static_argnames=("n_hyp", "min_triangulated"))
-_pnp = jax.jit(pnp.solve_pnp, static_argnames=("n_hyp", "min_inliers", "min_set"))
 
 
 @jax.jit
@@ -96,6 +88,125 @@ def _frustum(xw, R, t, K4, bounds, normal, min_dist, max_dist):
     from ..geometry.camera import frustum_check
 
     return frustum_check(xw, R, t, K4, bounds, normal, min_dist, max_dist)
+
+
+def _bind_and_optimize(idx, mask, xw_q, R0, t0, f_xy, w, K4, n_rounds=4):
+    """Scatter query->feature matches to per-feature bindings and run the
+    4-round pose optimizer. Returns (feat_q, res)."""
+    n = f_xy.shape[0]
+    nq = idx.shape[0]
+    feat_q = jnp.full((n,), -1, jnp.int32)
+    feat_q = feat_q.at[jnp.where(mask, idx, n)].set(
+        jnp.arange(nq, dtype=jnp.int32), mode="drop")
+    has = feat_q >= 0
+    xw_f = xw_q[jnp.clip(feat_q, 0, nq - 1)]
+    res = pose_opt.optimize_pose(R0, t0, xw_f, f_xy, w, has, K4,
+                                 n_rounds=n_rounds)
+    return feat_q, res
+
+
+@jax.jit
+def _track_frame_prog(desc_q, uv_proj, lf_xy, lf_angle, lf_level, valid_q,
+                      xw_q, f_desc, f_xy, f_angle, f_level, f_valid, w,
+                      R0, t0, K4, scale_factors):
+    """The whole TrackWithMotionModel + TrackPreviousFrame fallback as ONE
+    program with ONE pull (each extra RPC costs ~28 ms of tunnel latency —
+    a live camera drops a frame per RPC): projection search under the
+    predicted pose, 200 px window search fallback, binding scatter, 4-round
+    pose optimization (Tracking.cc:526-628)."""
+    m1 = matching.search_by_projection(
+        desc_q, uv_proj, lf_level, valid_q,
+        f_desc, f_xy, f_level, f_valid, scale_factors,
+        radius=15.0, max_dist=100, nn_ratio=0.9, level_window=(-1, 1))
+    m2 = matching.window_search(
+        desc_q, lf_xy, lf_angle, valid_q,
+        f_desc, f_xy, f_angle, f_level, f_valid,
+        window_px=200.0, max_dist=100, nn_ratio=0.9,
+        min_level=0, max_level=scale_factors.shape[0] - 1,
+        check_rotation=True)
+    use2 = jnp.sum(m1.mask) < 20
+    idx = jnp.where(use2, m2.idx, m1.idx)
+    mask = jnp.where(use2, m2.mask, m1.mask)
+    feat_q, res = _bind_and_optimize(idx, mask, xw_q, R0, t0, f_xy, w, K4)
+    return idx, mask, use2, feat_q, res
+
+
+@jax.jit
+def _track_local_map_prog(mp_xyz, mp_normal, mp_mind, mp_maxd, mp_desc,
+                          q_valid, already, f_desc, f_xy, f_level, f_valid,
+                          prev_xw, prev_has, w, R, t, K4, bounds,
+                          scale_factors, radius_mult):
+    """TrackLocalMap's frustum gate + projection search + pose
+    re-optimization over the MERGED binding set (prior frame-to-frame
+    matches + new local-map matches) as ONE program/pull
+    (Tracking.cc:630-773)."""
+    n_levels = scale_factors.shape[0]
+    ok, uv, _, view_cos, dist = _frustum(
+        mp_xyz, R, t, K4, bounds, mp_normal, mp_mind * 0.8, mp_maxd * 1.2)
+    visible = ok & q_valid
+    ratio = jnp.maximum(mp_maxd, 1e-9) / jnp.maximum(dist, 1e-9)
+    pred = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factors[1])),
+        0, n_levels - 1).astype(jnp.int32)
+    th = jnp.where(view_cos > 0.998, 2.5, 4.0) * radius_mult
+    m = matching.search_by_projection(
+        mp_desc, uv, pred, visible & ~already,
+        f_desc, f_xy, f_level, f_valid & ~prev_has, scale_factors,
+        radius=th, max_dist=100, nn_ratio=0.8, level_window=(-1, 1))
+    n = f_xy.shape[0]
+    nq = m.idx.shape[0]
+    feat_q = jnp.full((n,), -1, jnp.int32)
+    feat_q = feat_q.at[jnp.where(m.mask, m.idx, n)].set(
+        jnp.arange(nq, dtype=jnp.int32), mode="drop")
+    new_has = feat_q >= 0
+    has = prev_has | new_has
+    xw_f = jnp.where(new_has[:, None],
+                     mp_xyz[jnp.clip(feat_q, 0, nq - 1)], prev_xw)
+    res = pose_opt.optimize_pose(R, t, xw_f, f_xy, w, has, K4)
+    return visible, m.idx, m.mask, has, res
+
+
+@jax.jit
+def _reloc_candidate_prog(key, f_desc, f_xy, f_angle, f_level, f_valid, w,
+                          kf_desc, kf_angle, kf_has, kf_xw, max_err2, K4):
+    """One relocalization candidate attempt as ONE program/pull
+    (Relocalisation :881-1050 inner loop): BoW-free mutual matching
+    against the candidate keyframe, EPnP RANSAC over the matched points,
+    then the 4-round pose optimization on the PnP inliers."""
+    m = matching.mutual_match(
+        f_desc, f_angle, f_valid, kf_desc, kf_angle, kf_has,
+        max_dist=50, nn_ratio=0.75, check_rotation=True)
+    # per frame-feature world point through the candidate's bindings
+    xw = kf_xw[m.idx]
+    valid = m.mask
+    res = pnp.solve_pnp(key, xw, f_xy, valid, K4, max_err2)
+    sel = valid & res.inliers
+    opt = pose_opt.optimize_pose(res.R, res.t, xw, f_xy, w, sel, K4)
+    return m.idx, m.mask, res.success, sel, opt
+
+
+@jax.jit
+def _reloc_refine_prog(q_desc, uv_proj, q_level, valid_q, q_xw,
+                       f_desc, f_xy, f_level, f_valid, prev_xw, prev_has,
+                       w, R, t, K4, scale_factors):
+    """The post-PnP projection-search ladder rung as ONE program/pull
+    (Tracking.cc:988-1027): project the candidate KF's points, re-match
+    with a 10 px radius, re-optimize on the union."""
+    m = matching.search_by_projection(
+        q_desc, uv_proj, q_level, valid_q,
+        f_desc, f_xy, f_level, f_valid, scale_factors,
+        radius=10.0, max_dist=100, nn_ratio=1.0, level_window=(-1, 1))
+    n = f_xy.shape[0]
+    nq = m.idx.shape[0]
+    feat_q = jnp.full((n,), -1, jnp.int32)
+    feat_q = feat_q.at[jnp.where(m.mask, m.idx, n)].set(
+        jnp.arange(nq, dtype=jnp.int32), mode="drop")
+    new_has = feat_q >= 0
+    has = prev_has | new_has
+    xw_f = jnp.where(new_has[:, None],
+                     q_xw[jnp.clip(feat_q, 0, nq - 1)], prev_xw)
+    res = pose_opt.optimize_pose(R, t, xw_f, f_xy, w, has, K4)
+    return m.idx, m.mask, has, res
 
 
 class Tracker:
@@ -447,8 +558,9 @@ class Tracker:
         return lf.R.copy(), lf.t.copy()
 
     def _track_frame(self, frame: Frame) -> bool:
-        """Motion-model projection search, window-search fallback
-        (TrackWithMotionModel :594-628 / TrackPreviousFrame :526-592)."""
+        """Motion-model projection search + window-search fallback + pose
+        optimization (TrackWithMotionModel :594-628 / TrackPreviousFrame
+        :526-592) — dispatched as ONE program with ONE result pull."""
         lf = self.last_frame
         if lf is None or lf.R is None:
             return False
@@ -477,49 +589,29 @@ class Tracker:
         ).astype(np.float32)
         valid_q &= z > 0
 
-        m = _search_proj(
-            jnp.array(desc_q), jnp.array(uv_proj), jnp.array(lf.level), jnp.array(valid_q),
-            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.level),
-            jnp.array(frame.valid), jnp.array(self.cfg.scale_factors),
-            radius=15.0, max_dist=100, nn_ratio=0.9, level_window=(-1, 1),
-        )
-        mmask, midx = jax.device_get([m.mask, m.idx])
+        w = self.cfg.inv_sigma2[np.clip(frame.level, 0, self.cfg.n_levels - 1)]
+        midx, mmask, _use2, feat_q, res = jax.device_get(_track_frame_prog(
+            jnp.array(desc_q), jnp.array(uv_proj), jnp.array(lf.xy_un),
+            jnp.array(lf.angle), jnp.array(lf.level), jnp.array(valid_q),
+            jnp.array(xw),
+            self._feat(frame, "desc"), self._feat(frame, "xy_un"),
+            self._feat(frame, "angle"), self._feat(frame, "level"),
+            self._feat(frame, "valid"),
+            jnp.array(w.astype(np.float32)),
+            jnp.array(R0), jnp.array(t0), jnp.array(self.cfg.K4),
+            jnp.array(self.cfg.scale_factors),
+        ))
         if mmask.sum() < 20:
-            # fallback: wider window search against the last frame's points
-            m = _window_search(
-                jnp.array(desc_q), jnp.array(lf.xy_un), jnp.array(lf.angle), jnp.array(valid_q),
-                jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.angle),
-                jnp.array(frame.level), jnp.array(frame.valid),
-                window_px=200.0, max_dist=100, nn_ratio=0.9,
-                min_level=0, max_level=self.cfg.n_levels - 1, check_rotation=True,
-            )
-            mmask, midx = jax.device_get([m.mask, m.idx])
-            if mmask.sum() < 20:
-                return False
-
+            return False
         frame.point[:] = -1
         frame.point[midx[mmask]] = lp[mmask]
         frame.point_gen[midx[mmask]] = self.map.mp_gen[lp[mmask]]
-        return self._optimize_frame_pose(frame, R0, t0, min_inliers=10)
-
-    def _optimize_frame_pose(self, frame: Frame, R0, t0, min_inliers=10) -> bool:
-        has = frame.point >= 0
-        mp = np.clip(frame.point, 0, self.map.max_mp - 1)
-        valid = has & self.map.mp_valid[mp]
-        xw = self.map.mp_xyz[mp]
-        w = self.cfg.inv_sigma2[np.clip(frame.level, 0, self.cfg.n_levels - 1)]
-        res = pose_opt.optimize_pose(
-            jnp.array(R0), jnp.array(t0), jnp.array(xw), jnp.array(frame.xy_un),
-            jnp.array(w.astype(np.float32)), jnp.array(valid), jnp.array(self.cfg.K4),
-        )
-        res = jax.device_get(res)  # one RPC for R/t/inliers/count
-        inliers = np.asarray(res.inliers)
-        frame.outlier = valid & ~inliers
-        frame.point[~valid] = -1
+        has = feat_q >= 0
+        frame.outlier = has & ~np.asarray(res.inliers)
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
         self.n_inliers = int(res.n_inliers)
-        return self.n_inliers >= min_inliers
+        return self.n_inliers >= 10
 
     # ------------------------------------------------------------------
     # local map tracking (TrackLocalMap :630-662)
@@ -552,6 +644,8 @@ class Tracker:
         return np.array(sorted(k2), np.int64)
 
     def _track_local_map(self, frame: Frame) -> bool:
+        """Frustum gate + projection search + pose re-optimization over the
+        local-map points (TrackLocalMap :630-773) — ONE program, ONE pull."""
         local_kfs = self._local_keyframes(frame)
         if len(local_kfs) == 0:
             return False
@@ -567,51 +661,48 @@ class Tracker:
         pts_pad = np.concatenate([pts, np.zeros(pad, np.int64)])
         pvalid = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
 
-        ok, uv, _, view_cos, dist = _frustum(
-            jnp.array(self.map.mp_xyz[pts_pad]),
-            jnp.array(frame.R), jnp.array(frame.t), jnp.array(self.cfg.K4),
-            jnp.array(self.bounds),
-            jnp.array(self.map.mp_normal[pts_pad]),
-            jnp.array(self.map.mp_min_dist[pts_pad] * 0.8),
-            jnp.array(self.map.mp_max_dist[pts_pad] * 1.2),
-        )
-        ok, uv, view_cos, dist = jax.device_get([ok, uv, view_cos, dist])
-        ok = ok & pvalid
-        # visibility statistics (Frame::isInFrustum -> IncreaseVisible)
-        self.map.mp_visible[pts_pad[ok]] += 1
-
-        # exclude points already matched in this frame
+        # wider search right after relocalization (Tracking.cc:646)
+        mult = 5.0 if frame.frame_id < self.last_reloc_frame_id + 2 else 1.0
         already = np.isin(pts_pad, frame.point[frame.point >= 0])
-        q_valid = ok & ~already
-
-        pred = predict_scale_level(
-            dist, self.map.mp_max_dist[pts_pad],
-            self.cfg.scale_factor, self.cfg.n_levels,
-        )
-        # radius by viewing cos (ORBmatcher.cc:127-134): 2.5 or 4.0
-        th = np.where(view_cos > 0.998, 2.5, 4.0).astype(np.float32)
-        if frame.frame_id < self.last_reloc_frame_id + 2:
-            th = th * 5.0  # wider search right after relocalization
-
-        m = _search_proj(
-            jnp.array(self.map.mp_desc[pts_pad]), jnp.asarray(uv), jnp.array(pred),
-            jnp.array(q_valid),
-            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.level),
-            jnp.array(frame.valid & (frame.point < 0)),
-            jnp.array(self.cfg.scale_factors),
-            radius=jnp.array(th), max_dist=100, nn_ratio=0.8, level_window=(-1, 1),
-        )
-        mmask, midx = jax.device_get([m.mask, m.idx])
+        w = self.cfg.inv_sigma2[np.clip(frame.level, 0, self.cfg.n_levels - 1)]
+        # the program optimizes the UNION of the prior frame-to-frame
+        # bindings (prev_xw/prev_has) and the new local-map matches
+        lp = frame.point.copy()
+        lp[frame.outlier] = -1
+        prev_has = lp >= 0
+        prev_xw = self.map.mp_xyz[np.clip(lp, 0, self.map.max_mp - 1)]
+        visible, midx, mmask, has, res = jax.device_get(_track_local_map_prog(
+            jnp.array(self.map.mp_xyz[pts_pad]),
+            jnp.array(self.map.mp_normal[pts_pad]),
+            jnp.array(self.map.mp_min_dist[pts_pad]),
+            jnp.array(np.where(np.isfinite(self.map.mp_max_dist[pts_pad]),
+                               self.map.mp_max_dist[pts_pad], 0.0).astype(np.float32)),
+            jnp.array(self.map.mp_desc[pts_pad]),
+            jnp.array(pvalid), jnp.array(already),
+            self._feat(frame, "desc"), self._feat(frame, "xy_un"),
+            self._feat(frame, "level"), self._feat(frame, "valid"),
+            jnp.array(prev_xw), jnp.array(prev_has),
+            jnp.array(w.astype(np.float32)),
+            jnp.array(frame.R), jnp.array(frame.t), jnp.array(self.cfg.K4),
+            jnp.array(self.bounds), jnp.array(self.cfg.scale_factors),
+            jnp.float32(mult),
+        ))
+        visible = visible & pvalid
+        # visibility statistics (Frame::isInFrustum -> IncreaseVisible)
+        self.map.mp_visible[pts_pad[visible]] += 1
         frame.point[midx[mmask]] = pts_pad[mmask]
         frame.point_gen[midx[mmask]] = self.map.mp_gen[pts_pad[mmask]]
 
-        ok_pose = self._optimize_frame_pose(frame, frame.R, frame.t, min_inliers=10)
+        frame.outlier = has & ~np.asarray(res.inliers)
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        self.n_inliers = int(res.n_inliers)
         # found statistics for inlier points (Tracking.cc:646-655)
         inl = (frame.point >= 0) & ~frame.outlier
         self.map.mp_found[frame.point[inl]] += 1
 
         min_needed = 50 if frame.frame_id < self.last_reloc_frame_id + self.cfg.max_frames else 30
-        return ok_pose and self.n_inliers >= min_needed
+        return self.n_inliers >= min_needed
 
     # ------------------------------------------------------------------
     # keyframe decision (NeedNewKeyFrame :665-703)
@@ -660,67 +751,82 @@ class Tracker:
         qbow = self.kfdb.query_bow(frame.desc, frame.valid)
         self.kfdb.set_covisibility(self.map.covisibility())
         cands = self.kfdb.detect_reloc_candidates(qbow)
+        st, cfg = self.map, self.cfg
+        max_err = 5.991 * cfg.sigma2[np.clip(frame.level, 0, cfg.n_levels - 1)]
+        w = cfg.inv_sigma2[np.clip(frame.level, 0, cfg.n_levels - 1)]
         for kf in cands:
-            m = _mutual(
-                jnp.array(frame.desc), jnp.array(frame.angle), jnp.array(frame.valid),
-                jnp.array(self.map.kf_desc[kf]), jnp.array(self.map.kf_angle[kf]),
-                jnp.array(self.map.kf_feat_valid[kf] & (self.map.kf_point[kf] >= 0)),
-                max_dist=50, nn_ratio=0.75, check_rotation=True,
-            )
-            mask, idx = jax.device_get([m.mask, m.idx])
-            if mask.sum() < 15:
+            kf_point = st.kf_point[kf]
+            mp_safe = np.clip(kf_point, 0, st.max_mp - 1)
+            kf_has = (st.kf_feat_valid[kf] & (kf_point >= 0)
+                      & st.mp_valid[mp_safe])
+            # ONE program + ONE pull per candidate: mutual match + EPnP
+            # RANSAC + 4-round pose optimization on the PnP inliers
+            idx, mask, pnp_ok, sel, opt = jax.device_get(_reloc_candidate_prog(
+                self._next_key(),
+                self._feat(frame, "desc"), self._feat(frame, "xy_un"),
+                self._feat(frame, "angle"), self._feat(frame, "level"),
+                self._feat(frame, "valid"),
+                jnp.array(w.astype(np.float32)),
+                jnp.array(st.kf_desc[kf]), jnp.array(st.kf_angle[kf]),
+                jnp.array(kf_has), jnp.array(st.mp_xyz[mp_safe]),
+                jnp.array(max_err.astype(np.float32)), jnp.array(cfg.K4),
+            ))
+            if mask.sum() < 15 or not bool(pnp_ok):
                 continue
-            mp = np.where(mask, self.map.kf_point[kf][idx], -1)
-            valid = mp >= 0
-            xw = self.map.mp_xyz[np.clip(mp, 0, self.map.max_mp - 1)]
-            max_err = 5.991 * self.cfg.sigma2[np.clip(frame.level, 0, self.cfg.n_levels - 1)]
-            res = _pnp(
-                self._next_key(), jnp.array(xw), jnp.array(frame.xy_un),
-                jnp.array(valid), jnp.array(self.cfg.K4),
-                jnp.array(max_err.astype(np.float32)),
-            )
-            res = jax.device_get(res)
-            if not bool(res.success):
-                continue
+            mp = np.where(sel, kf_point[idx], -1)
             frame.point[:] = -1
-            sel = valid & np.asarray(res.inliers)
             frame.point[sel] = mp[sel]
-            frame.point_gen[sel] = self.map.mp_gen[mp[sel]]
-            if self._optimize_frame_pose(frame, np.asarray(res.R), np.asarray(res.t), min_inliers=10):
+            frame.point_gen[sel] = st.mp_gen[mp[sel]]
+            frame.outlier = sel & ~np.asarray(opt.inliers)
+            frame.R = np.asarray(opt.R)
+            frame.t = np.asarray(opt.t)
+            self.n_inliers = int(opt.n_inliers)
+            if self.n_inliers >= 10:
                 if self.n_inliers >= 50 or self._reloc_refine(frame, kf):
                     self.last_reloc_frame_id = frame.frame_id
                     return True
         return False
 
     def _reloc_refine(self, frame: Frame, kf: int) -> bool:
-        """Projection-search ladder after a weak PnP (Tracking.cc:988-1027)."""
-        pts = self.map.kf_point[kf]
-        q = pts.copy()
-        valid_q = (q >= 0)
-        mpid = np.clip(q, 0, self.map.max_mp - 1)
-        xw = self.map.mp_xyz[mpid]
+        """Projection-search ladder after a weak PnP (Tracking.cc:988-1027)
+        — ONE program/pull."""
+        st, cfg = self.map, self.cfg
+        q = st.kf_point[kf].copy()
+        valid_q = q >= 0
+        mpid = np.clip(q, 0, st.max_mp - 1)
+        xw = st.mp_xyz[mpid]
         xc = xw @ frame.R.T + frame.t
         z = xc[:, 2]
         uv_proj = np.stack(
             [
-                self.cfg.fx * xc[:, 0] / np.maximum(z, 1e-9) + self.cfg.cx,
-                self.cfg.fy * xc[:, 1] / np.maximum(z, 1e-9) + self.cfg.cy,
+                cfg.fx * xc[:, 0] / np.maximum(z, 1e-9) + cfg.cx,
+                cfg.fy * xc[:, 1] / np.maximum(z, 1e-9) + cfg.cy,
             ],
             axis=1,
         ).astype(np.float32)
-        valid_q &= (z > 0) & self.map.mp_valid[mpid]
-        m = _search_proj(
-            jnp.array(self.map.mp_desc[mpid]), jnp.array(uv_proj),
-            jnp.array(self.map.kf_level[kf]), jnp.array(valid_q),
-            jnp.array(frame.desc), jnp.array(frame.xy_un), jnp.array(frame.level),
-            jnp.array(frame.valid), jnp.array(self.cfg.scale_factors),
-            radius=10.0, max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
-        )
-        mmask, midx = jax.device_get([m.mask, m.idx])
+        valid_q &= (z > 0) & st.mp_valid[mpid]
+        lp = frame.point.copy()
+        lp[frame.outlier] = -1
+        prev_has = lp >= 0
+        prev_xw = st.mp_xyz[np.clip(lp, 0, st.max_mp - 1)]
+        w = cfg.inv_sigma2[np.clip(frame.level, 0, cfg.n_levels - 1)]
+        midx, mmask, has, res = jax.device_get(_reloc_refine_prog(
+            jnp.array(st.mp_desc[mpid]), jnp.array(uv_proj),
+            jnp.array(st.kf_level[kf]), jnp.array(valid_q), jnp.array(xw),
+            self._feat(frame, "desc"), self._feat(frame, "xy_un"),
+            self._feat(frame, "level"), self._feat(frame, "valid"),
+            jnp.array(prev_xw), jnp.array(prev_has),
+            jnp.array(w.astype(np.float32)),
+            jnp.array(frame.R), jnp.array(frame.t), jnp.array(cfg.K4),
+            jnp.array(cfg.scale_factors),
+        ))
         frame.point[midx[mmask]] = q[mmask]
-        frame.point_gen[midx[mmask]] = self.map.mp_gen[q[mmask]]
-        ok = self._optimize_frame_pose(frame, frame.R, frame.t, min_inliers=10)
-        return ok and self.n_inliers >= 50
+        frame.point_gen[midx[mmask]] = st.mp_gen[q[mmask]]
+        frame.outlier = has & ~np.asarray(res.inliers)
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        self.n_inliers = int(res.n_inliers)
+        return self.n_inliers >= 50
 
     def force_relocalization(self):
         """LoopClosing tells the tracker the map moved under it

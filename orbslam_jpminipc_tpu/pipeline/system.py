@@ -286,44 +286,38 @@ class Slam:
         for a in (n1, n2):
             for b in (n1, n2):
                 q, f = fs[a], fs[b]
-                outs.append(T._search_proj(
-                    q["desc"], q["xy"], q["level"], q["valid"],
-                    f["desc"], f["xy"], f["level"], f["valid"], sf,
-                    radius=15.0, max_dist=100, nn_ratio=0.9,
-                    level_window=(-1, 1)))
-                outs.append(T._window_search(
-                    q["desc"], q["xy"], q["angle"], q["valid"],
+                outs.append(T._track_frame_prog(
+                    q["desc"], q["xy"], q["xy"], q["angle"], q["level"],
+                    q["valid"], jnp.zeros((a, 3)),
                     f["desc"], f["xy"], f["angle"], f["level"], f["valid"],
-                    window_px=200.0, max_dist=100, nn_ratio=0.9,
-                    min_level=0, max_level=cfg.n_levels - 1,
-                    check_rotation=True))
+                    jnp.zeros((b,), jnp.float32),
+                    jnp.eye(3), jnp.zeros(3), K4, sf))
         for b in (n1, n2):
             f = fs[b]
-            # local-map search (queries padded to the slice capacity) with
-            # both scalar and per-query radius
-            qM = feats(M)
-            outs.append(T._search_proj(
-                qM["desc"], qM["xy"], qM["level"], qM["valid"],
-                f["desc"], f["xy"], f["level"], f["valid"], sf,
-                radius=jnp.zeros((M,), jnp.float32), max_dist=100,
-                nn_ratio=0.8, level_window=(-1, 1)))
-            # relocalization ladder: KF rows are map-capacity (2x) arrays
+            # local-map tracking (queries padded to the slice capacity)
+            outs.append(T._track_local_map_prog(
+                jnp.zeros((M, 3)), jnp.zeros((M, 3)), jnp.zeros((M,)),
+                jnp.zeros((M,)), jnp.zeros((M, 32), jnp.uint8),
+                jnp.zeros((M,), bool), jnp.zeros((M,), bool),
+                f["desc"], f["xy"], f["level"], f["valid"],
+                jnp.zeros((b, 3)), jnp.zeros((b,), bool),
+                jnp.zeros((b,), jnp.float32),
+                jnp.eye(3), jnp.zeros(3), K4,
+                jnp.asarray(self.tracker.bounds), sf, jnp.float32(1.0)))
+            # relocalization: KF rows are map-capacity (2x) arrays
             q2 = fs[n2]
-            outs.append(T._search_proj(
+            outs.append(T._reloc_candidate_prog(
+                key, f["desc"], f["xy"], f["angle"], f["level"], f["valid"],
+                jnp.zeros((b,), jnp.float32),
+                q2["desc"], q2["angle"], q2["valid"], jnp.zeros((n2, 3)),
+                jnp.zeros((b,), jnp.float32), K4))
+            outs.append(T._reloc_refine_prog(
                 q2["desc"], q2["xy"], q2["level"], q2["valid"],
-                f["desc"], f["xy"], f["level"], f["valid"], sf,
-                radius=10.0, max_dist=100, nn_ratio=1.0,
-                level_window=(-1, 1)))
-            outs.append(T._mutual(
-                f["desc"], f["angle"], f["valid"],
-                q2["desc"], q2["angle"], q2["valid"],
-                max_dist=50, nn_ratio=0.75, check_rotation=True))
-            outs.append(T._pnp(
-                key, jnp.zeros((b, 3)), f["xy"], f["valid"], K4,
-                jnp.zeros((b,), jnp.float32)))
-            outs.append(pose_opt.optimize_pose(
-                jnp.eye(3), jnp.zeros(3), jnp.zeros((b, 3)), f["xy"],
-                jnp.zeros((b,), jnp.float32), f["valid"], K4))
+                jnp.zeros((n2, 3)),
+                f["desc"], f["xy"], f["level"], f["valid"],
+                jnp.zeros((b, 3)), jnp.zeros((b,), bool),
+                jnp.zeros((b,), jnp.float32),
+                jnp.eye(3), jnp.zeros(3), K4, sf))
         outs.append(T._frustum(
             jnp.zeros((M, 3)), jnp.eye(3), jnp.zeros(3), K4,
             jnp.asarray(self.tracker.bounds), jnp.zeros((M, 3)),

@@ -39,6 +39,15 @@ def main(argv=None):
                          "image topic (src/Tracking.cc:166-189) — reports "
                          "%%dropped alongside fps")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup program compilation (warmup "
+                         "pre-compiles every tracking/recovery/loop program "
+                         "so a live run never stalls on a mid-run compile)")
+    ap.add_argument("--viz", default=None, metavar="DIR",
+                    help="live visualization: write the tracked-frame debug "
+                         "image and a top-down map view to DIR every frame "
+                         "(the reference refreshes its Frame/Map publishers "
+                         "at camera fps, src/main.cc:210-218)")
     args = ap.parse_args(argv)
 
     from .utils.jaxcache import enable_persistent_cache
@@ -91,6 +100,30 @@ def main(argv=None):
             )
 
     slam = Slam(cfg, vocab=vocab, enable_loop_closing=not args.no_loop_closing)
+    if not args.no_warmup:
+        t_w = time.time()
+        slam.warmup()
+        print(f"warmup (program compilation): {time.time()-t_w:.1f}s",
+              file=sys.stderr)
+    viz_dir = None
+    if args.viz:
+        os.makedirs(args.viz, exist_ok=True)
+        viz_dir = args.viz
+
+    def refresh_viz(i, frame, state):
+        """FramePublisher/MapPublisher refresh (src/main.cc:210-218)."""
+        if viz_dir is None:
+            return
+        import cv2
+        from .io.viz import draw_frame, draw_map_topdown
+
+        if frame is not None:
+            img_dbg = draw_frame(np.asarray(frame_img), frame, state,
+                                 n_kf=slam.n_keyframes, n_mp=slam.n_points)
+            cv2.imwrite(os.path.join(viz_dir, "frame.png"), img_dbg)
+        cv2.imwrite(os.path.join(viz_dir, "map.png"),
+                    draw_map_topdown(slam.map))
+
     if args.load_world:
         from .io.checkpoint import load_slam
 
@@ -110,7 +143,9 @@ def main(argv=None):
         done = 0
         while i < n:
             img, ts, _ = seq.get(i)
+            frame_img = img
             state, frame = slam.process(img, ts)
+            refresh_viz(i, frame, state)
             done += 1
             if done % 20 == 0:
                 print(f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "
@@ -127,7 +162,9 @@ def main(argv=None):
     else:
         for i in range(n):
             img, ts, _ = seq.get(i)
+            frame_img = img
             state, frame = slam.process(img, ts)
+            refresh_viz(i, frame, state)
             if i % 20 == 0:
                 print(
                     f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "

@@ -245,6 +245,7 @@ def test_covisible_candidates_are_excluded(scene):
 
 
 class TestOrbitLoopEndToEnd:
+    @pytest.mark.slow  # ~6 min on CPU: the long-sequence integration tier
     def test_orbit_closes_loop(self):
         """Full-system loop closure on the canonical 360-degree orbit: the
         start view leaves the frustum entirely and returns at the end
