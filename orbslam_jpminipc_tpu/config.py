@@ -57,7 +57,11 @@ class SlamConfig:
     # (LocalMapping::Run polls at 5 Hz, LocalMapping.cc:52-127). Turn off
     # for frame-synchronous semantics (tests, lowest-latency pose out).
     pipelined_tracking: bool = True
-    pipeline_depth: int = 3
+    # in-flight budget: must cover the pull RPC latency (~30 ms) times the
+    # frame rate plus mapping-kernel queueing; 6 raises e2e from ~30 to
+    # ~41 fps on the bench sequence while keyframe decisions still lag
+    # only ~0.2 s (the reference's mapper thread lags similarly)
+    pipeline_depth: int = 6
 
     # Mapping overlap: when True, the per-keyframe mapping stages
     # (triangulate / fuse / local BA / cull / loop detection) run one per
