@@ -22,7 +22,7 @@ import numpy as np
 class PullPool:
     """Thread pool wrapping batched jax.device_get calls."""
 
-    def __init__(self, workers: int = 4):
+    def __init__(self, workers: int = 8):
         self._ex = _fut.ThreadPoolExecutor(
             max_workers=workers, thread_name_prefix="pull")
 
