@@ -299,10 +299,14 @@ FUSE_CANDS = 256  # per-target fuse match capacity (pull rows)
 def local_ba_kernel(kf_xy, kf_level,
                     kf_R, kf_t, kf_fixed, points, point_valid,
                     obs_kf, obs_pt, obs_feat, obs_src_kf, obs_valid,
-                    K4, inv_sigma2):
-    """Local BA with observation pixels/weights gathered from the mirror
-    (obs_uv = kf_xy[src_kf, feat]): the transfer is the index lists + the
-    (K,·) pose block + (P,3) points — ~350 KB instead of ~1.3 MB."""
+                    K4, inv_sigma2, iterations: int = 5):
+    """ONE local-BA LM stage with observation pixels/weights gathered from
+    the mirror (obs_uv = kf_xy[src_kf, feat]): the transfer is the index
+    lists + the (K,·) pose block + (P,3) points — ~350 KB instead of
+    ~1.3 MB. The reference's 5 -> erase -> 10 schedule (Optimizer.cc:
+    450-494) runs as two calls with the host erase between them, so a
+    newly arriving keyframe can abort the second stage exactly where
+    g2o's force-stop flag would (LocalMapping.cc:541-544)."""
     from ..solvers import ba
 
     n_levels = inv_sigma2.shape[0]
@@ -315,7 +319,7 @@ def local_ba_kernel(kf_xy, kf_level,
         obs_kf=obs_kf, obs_pt=obs_pt, obs_uv=obs_uv, obs_w=obs_w,
         obs_valid=obs_valid, K4=K4,
     )
-    return ba.two_stage_local_ba(prob)
+    return ba.bundle_adjust(prob, iterations=iterations)
 
 
 @mirror_call(4)

@@ -48,6 +48,8 @@ class LocalMapper:
         self._tri_pending = None
         self._fuse_pending = None
         self._ba_pending = None
+        self._ba_stage1 = None   # pulled 5-iter result awaiting stage 2
+        self._ba2_pending = None
         self._attrs_pending: list[int] = []
         self._attrs_inflight = None  # dispatched attrs awaiting writeback
 
@@ -111,8 +113,9 @@ class LocalMapper:
     # and the merge at the next, so the device kernels + transfers overlap
     # the interleaved tracking instead of being waited on synchronously.
     STAGES = ("cull_points", "triangulate_d", "triangulate_m",
-              "fuse_d", "fuse_m", "ba_d", "ba_m", "cull_kf")
-    DISPATCH_STAGES = ("triangulate_d", "fuse_d", "ba_d")
+              "fuse_d", "fuse_m", "ba_d", "ba_m", "ba2_d", "ba2_m",
+              "cull_kf")
+    DISPATCH_STAGES = ("triangulate_d", "fuse_d", "ba_d", "ba2_d")
 
     def stage_ready(self, kf: int, stage: str) -> bool:
         """True when running `stage` now would not block on an in-flight
@@ -126,6 +129,9 @@ class LocalMapper:
             return p is None or p[0] != kf or p[4].done()
         if stage == "ba_m":
             p = self._ba_pending
+            return p is None or p[0] != kf or p[6].done()
+        if stage == "ba2_m":
+            p = self._ba2_pending
             return p is None or p[0] != kf or p[6].done()
         return True
 
@@ -173,6 +179,12 @@ class LocalMapper:
             self.ba_dispatch(kf)
         elif stage == "ba_m":
             self.ba_merge(kf)
+        elif stage == "ba2_d":
+            self.ba2_dispatch(kf)
+        elif stage == "ba2_m":
+            self.ba2_merge(kf)
+        elif stage == "ba_abort":
+            self.ba_abort(kf)
         elif stage == "cull_kf":
             self.cull_keyframes(kf)
         else:  # pragma: no cover
@@ -615,15 +627,19 @@ class LocalMapper:
         return prob, all_kfs, pts, obs_src
 
     def local_ba(self, kf: int):
-        """Synchronous local BA (dispatch + merge back to back)."""
+        """Synchronous local BA (both stages back to back)."""
         self.ba_dispatch(kf)
         self.ba_merge(kf)
+        self.ba2_dispatch(kf)
+        self.ba2_merge(kf)
 
     def ba_dispatch(self, kf: int):
-        """Device half: assemble the problem (host indices), dispatch the
-        two-stage LM; the result stays on device until the merge."""
+        """Dispatch LM stage 1 (5 iterations, Optimizer.cc:450); the result
+        stays on device until the merge."""
         st = self.map
         self._ba_pending = None
+        self._ba_stage1 = None
+        self._ba2_pending = None
         prob, all_kfs, pts, obs_src = self.build_local_ba_problem(kf)
         if len(obs_src) < 20:
             return
@@ -635,6 +651,7 @@ class LocalMapper:
             prob.point_valid, prob.obs_kf, prob.obs_pt, obs_feat,
             obs_srckf, prob.obs_valid, prob.K4,
             self.cfg.inv_sigma2.astype(np.float32),
+            iterations=5,
         )
         from ..utils.pull import pull_pool
 
@@ -644,35 +661,91 @@ class LocalMapper:
                             obs_src, pull_pool().submit(res))
 
     def ba_merge(self, kf: int):
-        """Host half: pose/point writeback + outlier-observation erasure
-        (Optimizer.cc:453-534). The reference does NOT recompute point
-        attributes after local BA — neither do we."""
-        st = self.map
+        """Pull stage 1's result and hold it: NO map writeback yet — the
+        reference writes back only after the (abortable) second stage."""
         if self._ba_pending is None or self._ba_pending[0] != kf:
             return
         from ..utils.tracing import get_tracer
 
-        tracer = get_tracer()
         _, prob, all_kfs, pts, gens, obs_src, res = self._ba_pending
         self._ba_pending = None
-        with tracer.stage("ba_m_pull"):
+        with get_tracer().stage("ba_m_pull"):
             res = res.result()
-        kf_R = res.kf_R
-        kf_t = res.kf_t
+        self._ba_stage1 = (kf, prob, all_kfs, pts, gens, obs_src, res)
+
+    def ba2_dispatch(self, kf: int):
+        """Dispatch LM stage 2 (10 iterations on the outlier-pruned set,
+        Optimizer.cc:480-494). A keyframe arriving before this dispatch
+        aborts it — the exact point g2o's force-stop flag cuts the
+        reference's local BA (LocalMapping.cc:541-544)."""
+        if self._ba_stage1 is None or self._ba_stage1[0] != kf:
+            return
+        _, prob, all_kfs, pts, gens, obs_src, res1 = self._ba_stage1
+        obs_feat, obs_srckf = self._last_obs_idx
+        dm = self.dmap
+        obs_valid2 = np.asarray(prob.obs_valid) & ~res1.obs_outlier
+        res = local_ba_kernel(
+            dm.kf_xy, dm.kf_level,
+            res1.kf_R, res1.kf_t, prob.kf_fixed, res1.points,
+            prob.point_valid, prob.obs_kf, prob.obs_pt, obs_feat,
+            obs_srckf, obs_valid2, prob.K4,
+            self.cfg.inv_sigma2.astype(np.float32),
+            iterations=10,
+        )
+        from ..utils.pull import pull_pool
+
+        self._ba2_pending = (kf, prob, all_kfs, pts, gens, obs_src,
+                             pull_pool().submit(res), res1)
+
+    def ba2_merge(self, kf: int):
+        """Writeback + outlier erasure after stage 2 (Optimizer.cc:496-534;
+        erased set = union of both passes :453-470 + :480-494)."""
+        if self._ba2_pending is None or self._ba2_pending[0] != kf:
+            return
+        from ..utils.tracing import get_tracer
+
+        _, prob, all_kfs, pts, gens, obs_src, res, res1 = self._ba2_pending
+        self._ba2_pending = None
+        self._ba_stage1 = None
+        with get_tracer().stage("ba_m_pull"):
+            res = res.result()
+        outlier = res1.obs_outlier | res.obs_outlier
+        self._ba_writeback(prob, all_kfs, pts, gens, obs_src,
+                           res.kf_R, res.kf_t, res.points, outlier)
+
+    def ba_abort(self, kf: int):
+        """A new keyframe interrupted the BA between stages: write back the
+        5-iteration state WITHOUT erasing outlier observations — the
+        reference's aborted local BA skips the erase passes but still
+        recovers the partially optimized poses/points (Optimizer.cc:450-452
+        + :496-534 with bDoMore=false)."""
+        if self._ba_stage1 is None or self._ba_stage1[0] != kf:
+            return
+        _, prob, all_kfs, pts, gens, obs_src, res1 = self._ba_stage1
+        self._ba_stage1 = None
+        self._ba_writeback(prob, all_kfs, pts, gens, obs_src,
+                           res1.kf_R, res1.kf_t, res1.points, None)
+
+    def _ba_writeback(self, prob, all_kfs, pts, gens, obs_src,
+                      kf_R, kf_t, points, outlier):
+        st = self.map
+        from ..utils.tracing import get_tracer
+
+        tracer = get_tracer()
         for i, k in enumerate(all_kfs):
             if not bool(prob.kf_fixed[i]) and st.kf_valid[k]:
                 st.kf_R[k] = kf_R[i]
                 st.kf_t[k] = kf_t[i]
         fresh = st.mp_gen[pts] == gens
-        st.mp_xyz[pts[fresh]] = res.points[: len(pts)][fresh]
-        # erase outlier observations (:453-470 + :496-520)
-        out = res.obs_outlier
-        with tracer.stage("ba_m_erase"):
-            gen_of = {int(p): int(g) for p, g in zip(pts, gens)}
-            for o in np.nonzero(out[: len(obs_src)])[0]:
-                p, k, f = obs_src[o]
-                if st.mp_gen[p] == gen_of.get(p, -1):
-                    st.remove_observation(p, k)
+        st.mp_xyz[pts[fresh]] = points[: len(pts)][fresh]
+        if outlier is not None:
+            # erase outlier observations (:453-470 + :496-520)
+            with tracer.stage("ba_m_erase"):
+                gen_of = {int(p): int(g) for p, g in zip(pts, gens)}
+                for o in np.nonzero(outlier[: len(obs_src)])[0]:
+                    p, k, f = obs_src[o]
+                    if st.mp_gen[p] == gen_of.get(p, -1):
+                        st.remove_observation(p, k)
         with tracer.stage("ba_m_sync"):
             self.dmap.sync_poses(st)
             self.dmap.sync_points(st, pts[fresh])

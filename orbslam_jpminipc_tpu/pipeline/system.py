@@ -547,11 +547,20 @@ class Slam:
             self.tracker.ref_kf = kf
             self.tracker.refresh_fused_slice()
             for _, stages in self.pending:
-                # a not-yet-dispatched local BA is cancelled by the newer
-                # keyframe (InterruptBA semantics)
+                # InterruptBA semantics (LocalMapping.cc:541-544 -> g2o
+                # setForceStopFlag, Optimizer.cc:58-59):
+                # - BA not yet started: cancel it entirely;
+                # - stage 1 running/done but stage 2 not dispatched: abort —
+                #   write back the 5-iteration state without the outlier
+                #   erase passes (Optimizer.cc:450-452 + bDoMore=false)
                 if "ba_d" in stages:
-                    stages.remove("ba_d")
-                    stages.remove("ba_m")
+                    for s_ in ("ba_d", "ba_m", "ba2_d", "ba2_m"):
+                        if s_ in stages:
+                            stages.remove(s_)
+                elif "ba2_d" in stages:
+                    i = stages.index("ba2_d")
+                    del stages[i:i + 2]
+                    stages.insert(i, "ba_abort")
             self.pending.append((kf, list(self.mapper.STAGES) + ["loop"]))
             return
         with self.tracer.stage("mapping"):
