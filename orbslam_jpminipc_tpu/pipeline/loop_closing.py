@@ -120,10 +120,9 @@ class LoopCloser:
                 jnp.array(st.kf_feat_valid[cand] & (st.kf_point[cand] >= 0)),
                 max_dist=50, nn_ratio=0.75, check_rotation=True,
             )
-            mask = np.asarray(m.mask)
+            mask, idx = jax.device_get([m.mask, m.idx])  # one RPC
             if mask.sum() < 20:
                 continue
-            idx = np.asarray(m.idx)
             p_c = st.kf_point[kf]
             p_l = st.kf_point[cand][idx]
             pair_ok = mask & (p_c >= 0) & (p_l >= 0)
@@ -144,6 +143,7 @@ class LoopCloser:
                 jnp.array((9.21 * cfg.sigma2[lev_c]).astype(np.float32)),
                 jnp.array((9.21 * cfg.sigma2[lev_l]).astype(np.float32)),
             )
+            res = jax.device_get(res)  # one RPC for the whole result
             if not bool(res.success):
                 continue
             # SearchBySim3 enrichment (ORBmatcher.cc:1267-1440, called at
@@ -168,6 +168,7 @@ class LoopCloser:
                 jnp.array(cfg.inv_sigma2[lev_l].astype(np.float32)),
                 jnp.array(pair_ok), jnp.array(cfg.K4),
             )
+            opt = jax.device_get(opt)
             if int(opt.n_inliers) < 20:
                 continue
             # guided projection of the loop neighborhood's points (:355-399)
@@ -220,7 +221,7 @@ class LoopCloser:
                 jnp.array(cfg.scale_factors),
                 radius=th, max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
             )
-            return np.asarray(m.idx), np.asarray(m.mask)
+            return tuple(jax.device_get([m.idx, m.mask]))
 
         # skip features already matched (vbAlreadyMatched, :1301-1312)
         skip2 = np.zeros(st.n_feat, bool)
@@ -276,8 +277,7 @@ class LoopCloser:
             radius=10.0,  # th=10 at this step (LoopClosing.cc:389)
             max_dist=100, nn_ratio=1.0, level_window=(-1, 1),
         )
-        mask = np.asarray(m.mask)
-        idx = np.asarray(m.idx)
+        mask, idx = jax.device_get([m.mask, m.idx])
         loop_points = (pts_pad[mask], idx[mask])  # (map point, feature in kf)
         # the full loop-side point set (mvpLoopMapPoints, LoopClosing.cc:371)
         # feeds SearchAndFuse over the whole corrected group later
@@ -425,8 +425,7 @@ class LoopCloser:
                 jnp.array(st.kf_level[k]), jnp.array(st.kf_feat_valid[k]),
                 jnp.array(cfg.scale_factors), 4.0,
             )
-            mask = np.asarray(m.mask)
-            idx = np.asarray(m.idx)
+            mask, idx = jax.device_get([m.mask, m.idx])
             for qi in np.nonzero(mask)[0]:
                 mp = int(pts_pad[qi])
                 if not st.mp_valid[mp]:
@@ -567,9 +566,7 @@ class LoopCloser:
             )
         else:
             res = essential_graph.optimize_essential_graph(prob, iterations=20)
-        s_new = np.asarray(res.s)
-        R_new = np.asarray(res.R)
-        t_new = np.asarray(res.t)
+        s_new, R_new, t_new = jax.device_get([res.s, res.R, res.t])
 
         # correct every point through the vertex estimate of the keyframe
         # that owns it — its rigid-correction reference if it was corrected
