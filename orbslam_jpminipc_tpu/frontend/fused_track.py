@@ -369,8 +369,10 @@ class FusedContext:
             jnp.asarray(image_u8), self.R, self.t,
             self.vel_R, self.vel_t, self.has_vel, self.slice_buf,
         )
-        # feed device state forward
+        # feed device state forward; the motion model stays off when the
+        # settings disable it (UseMotionModel, Tracking.cc:118-129)
         self.R, self.t = out.R, out.t
         self.vel_R, self.vel_t = out.vel_R, out.vel_t
-        self.has_vel = self._true
+        if self.cfg.use_motion_model:
+            self.has_vel = self._true
         return out

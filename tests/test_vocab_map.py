@@ -231,3 +231,42 @@ class TestMapState:
         assert cov[0, 1] == 5
         assert cov[0, 2] == 2
         assert cov[1, 2] == 2
+
+
+def test_force_free_keyframe_evicts_most_isolated():
+    """Graceful capacity degradation: the eviction victim is the least
+    covisibility-connected unprotected keyframe; the gauge KF and
+    loop-edge holders are never chosen."""
+    from orbslam_jpminipc_tpu.map.map_state import MapState
+    from orbslam_jpminipc_tpu.map import culling
+
+    rng = np.random.default_rng(0)
+    st = MapState.create(max_kf=8, max_mp=256, n_feat=32, max_obs=8)
+    # 4 KFs: 0-1-2 share many points (connected); 3 shares none (isolated)
+    for k in range(4):
+        st.add_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                        rng.uniform(0, 100, (32, 2)).astype(np.float32),
+                        np.zeros(32, np.int32), np.zeros(32, np.float32),
+                        rng.integers(0, 256, (32, 32)).astype(np.uint8),
+                        np.ones(32, bool), frame_id=k)
+    ids = st.add_points(rng.normal(0, 1, (20, 3)).astype(np.float32),
+                        rng.integers(0, 256, (20, 32)).astype(np.uint8), ref_kf=0)
+    for f, mp in enumerate(ids):
+        st.add_observation(int(mp), 0, f)
+        st.add_observation(int(mp), 1, f)
+        st.add_observation(int(mp), 2, f)
+    lone = st.add_points(rng.normal(0, 1, (4, 3)).astype(np.float32),
+                         rng.integers(0, 256, (4, 32)).astype(np.uint8), ref_kf=3)
+    for f, mp in enumerate(lone):
+        st.add_observation(int(mp), 3, f)
+
+    victim = culling.force_free_keyframe(st)
+    assert victim == 3, victim          # the isolated one
+    assert not st.kf_valid[3]
+    assert st.kf_valid[[0, 1, 2]].all()
+
+    # loop-edge protection: mark KF 2 as a loop anchor, isolate it, and
+    # check the eviction refuses it in favor of the next-least-connected
+    st.kf_loop_edges[2].add(1)
+    v2 = culling.force_free_keyframe(st)
+    assert v2 != 2 and v2 != 0          # 0 = gauge, 2 = loop anchor
