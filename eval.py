@@ -111,7 +111,7 @@ def main(argv=None):
 
     voc_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "orbslam_jpminipc_tpu", "data", "vocab_synthetic.npz",
+        "orbslam_jpminipc_tpu", "data", "vocab_tree64k.npz",
     )
     vocab = load_vocabulary(voc_path)
 
