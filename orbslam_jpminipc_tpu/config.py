@@ -62,6 +62,12 @@ class SlamConfig:
     # ~41 fps on the bench sequence while keyframe decisions still lag
     # only ~0.2 s (the reference's mapper thread lags similarly)
     pipeline_depth: int = 6
+    # adaptive guard: while the last completed frame's inlier count is
+    # below this, drain to depth 1 (near-synchronous) so keyframe
+    # decisions land immediately — deep pipelining delays KF insertion by
+    # `depth` frames, which in rotation-heavy stretches starves the map
+    # right when it must grow fastest
+    pipeline_guard_inliers: int = 80
 
     # Mapping overlap: when True, the per-keyframe mapping stages
     # (triangulate / fuse / local BA / cull / loop detection) run one per

@@ -34,12 +34,18 @@ class Frame:
     """
 
     def __init__(self, frame_id: int, timestamp: float, n_feat: int,
-                 host: dict | None = None, dev: dict | None = None):
+                 host: dict | None = None, dev: dict | None = None,
+                 prefetch=None):
         self.frame_id = frame_id
         self.timestamp = timestamp
         self.n_feat = n_feat
         self._host = dict(host) if host else {}
         self._dev = dev
+        # optional Future of the already-pulled feature dict (submitted to
+        # the pull pool at dispatch time): materialization then costs
+        # nothing instead of a ~30 ms queue-contended RPC at keyframe
+        # creation
+        self._prefetch = prefetch
         # pose (world->cam), set by tracking
         self.R: np.ndarray | None = None
         self.t: np.ndarray | None = None
@@ -52,7 +58,14 @@ class Frame:
 
     def materialize(self):
         """Pull all device-resident feature arrays to host (one batched
-        device_get). No-op when already host-resident."""
+        device_get, or the dispatch-time prefetch). No-op when already
+        host-resident."""
+        if self._prefetch is not None:
+            pulled = self._prefetch.result()
+            self._prefetch = None
+            for f, v in pulled.items():
+                self._host.setdefault(f, np.asarray(v))
+            self._dev = None
         if self._dev is not None:
             missing = [f for f in _FEAT_FIELDS if f not in self._host]
             if missing:

@@ -397,7 +397,7 @@ class MapState:
         from ..utils.pull import pull_pool
 
         return (ids[:n_real], self.mp_gen[ids[:n_real]].copy(),
-                pull_pool().submit(outs))
+                pull_pool("mapping").submit(outs))
 
     def apply_point_attributes(self, pending):
         """Pull + write back an async attrs computation. Generation-checked:

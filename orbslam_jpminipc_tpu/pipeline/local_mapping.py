@@ -277,7 +277,7 @@ class LocalMapper:
 
         # submit the async pull NOW: the ~25 ms RPC overlaps the
         # interleaved tracking instead of stalling the merge stage
-        self._tri_pending = (kf, active, pull_pool().submit(outs))
+        self._tri_pending = (kf, active, pull_pool("mapping").submit(outs))
 
     def triangulate_merge(self, kf: int):
         """Host half: claim features, allocate points, wire observations.
@@ -423,7 +423,7 @@ class LocalMapper:
         )
         from ..utils.pull import pull_pool
 
-        self._fuse_pending = (kf, sel, n_act, q, pull_pool().submit(outs))
+        self._fuse_pending = (kf, sel, n_act, q, pull_pool("mapping").submit(outs))
 
     def fuse_merge(self, kf: int):
         """Host half: merge bookkeeping + the keyframe's ONE attrs pass
@@ -658,7 +658,7 @@ class LocalMapper:
         # snapshot generations: observations/points may be culled by other
         # stages before the merge lands — never write into a recycled slot
         self._ba_pending = (kf, prob, all_kfs, pts, st.mp_gen[pts].copy(),
-                            obs_src, pull_pool().submit(res))
+                            obs_src, pull_pool("mapping").submit(res))
 
     def ba_merge(self, kf: int):
         """Pull stage 1's result and hold it: NO map writeback yet — the
@@ -695,7 +695,7 @@ class LocalMapper:
         from ..utils.pull import pull_pool
 
         self._ba2_pending = (kf, prob, all_kfs, pts, gens, obs_src,
-                             pull_pool().submit(res), res1)
+                             pull_pool("mapping").submit(res), res1)
 
     def ba2_merge(self, kf: int):
         """Writeback + outlier erasure after stage 2 (Optimizer.cc:496-534;

@@ -45,7 +45,7 @@ class Slam:
         if self.loop_closer is not None:
             self.loop_closer.dmap = self.mapper.dmap
         if cfg.async_mapping:
-            self.tracker.mapper_busy = lambda: bool(self.pending)
+            self.tracker.mapper_busy = self._mapper_busy
         self.frame_count = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_loops_closed = 0
@@ -77,11 +77,45 @@ class Slam:
         frame_id = self.frame_count
         self.frame_count += 1
         tr = self.tracker
+        # latency-mode hysteresis: while tracking quality is degrading
+        # (fast rotation eating the covisible set), in-flight pipelined
+        # frames match against slices up to `depth` frames stale and the
+        # quality collapse feeds itself — switch to synchronous processing
+        # until the inlier count recovers, then resume pipelining. The
+        # decaying peak serves as the regime-free health reference.
+        self._inlier_peak = 0.97 * getattr(self, "_inlier_peak", 0.0)
+        if tr.state == TrackState.WORKING:
+            self._inlier_peak = max(float(tr.n_inliers), self._inlier_peak)
+        degraded = (tr.n_inliers < self.cfg.pipeline_guard_inliers
+                    or tr.n_inliers < 0.7 * self._inlier_peak)
+        if degraded:
+            if getattr(self, "_latency_frames", 0) == 0 and self.pending:
+                # entering latency mode: interrupt BA and finish the
+                # mapper's backlog NOW so the keyframe the tracker needs is
+                # not refused by the busy gate (InterruptBA dynamics,
+                # Tracking.cc:692-698)
+                with self.tracer.stage("mapping_hard_drain"):
+                    self._drain_mapping_hard()
+            self._latency_frames = 10
+        else:
+            self._latency_frames = max(0, getattr(self, "_latency_frames", 0) - 1)
         if self.cfg.pipelined_tracking and tr.fused_usable(frame_id):
             rec = tr.fused_dispatch(image, frame_id, timestamp)
             self._inflight.append(rec)
-            self._drain_inflight(force=len(self._inflight) > self.cfg.pipeline_depth)
+            # run the mapping tick BEFORE completing frames: the keyframe
+            # decision inside a completion reads the stage queue as the
+            # mapper-busy gate (mbAcceptKeyFrames, Tracking.cc:679); with
+            # the tick after the drain, every completion saw the previous
+            # frame's undrained queue and refused keyframes almost always
+            # — the map starved and tracking quality collapsed in
+            # rotation-heavy stretches
             self._mapping_tick()
+            # latency mode = depth-1 pipelining: decisions land next frame
+            # and dispatches use a fresh slice, while the pull pipeline
+            # still overlaps (full-sync processing costs 2-3x on healthy
+            # translation-rich sequences that merely dip for a moment)
+            depth = 1 if self._latency_frames > 0 else self.cfg.pipeline_depth
+            self._drain_inflight(force=len(self._inflight) > depth)
             return self._last_result
         # host/sync path: complete every in-flight frame first (ordering)
         self._drain_inflight(force=True, drain_all=True)
@@ -112,6 +146,14 @@ class Slam:
         self._mapping_tick()
         return self._last_result
 
+    def _mapper_busy(self) -> bool:
+        """The mbAcceptKeyFrames gate (Tracking.cc:679 / LocalMapping.cc:
+        529-539): busy while the stage queue is non-empty. This
+        backpressure is load-bearing — it rations keyframes the way the
+        reference's mapper thread does (a looser gate floods the map with
+        tiny-baseline keyframes and tracking collapses)."""
+        return bool(self.pending)
+
     def _after_track(self, state: TrackState, frame: Frame, timestamp: float):
         """Post-tracking bookkeeping for one COMPLETED frame (in frame
         order): trajectory entry + auto-reset after a failed start
@@ -130,11 +172,15 @@ class Slam:
         queue backs up behind a burst of keyframes."""
         if not self.pending:
             return
-        # two stages per frame: the amortized mapper then clears one
-        # keyframe's backlog in ~3 frames (~100 ms at 30 fps) — the
-        # reference mapper thread's cadence (LocalMapping::Run)
+        # greedy drain: stages are either async dispatches or cheap host
+        # merges (the pulls resolved in the pool), so run until a fresh
+        # dispatch needs to cook, a merge's pull hasn't landed, or the
+        # queue empties. A stingier cap (the old 2/frame) keeps the queue
+        # resident longer, which keeps mbAcceptKeyFrames false and starves
+        # the keyframe cadence exactly when rotation needs map growth.
         with self.tracer.stage("mapping"):
-            for _ in range(2):
+            dispatched = 0
+            for _ in range(8):
                 if not self.pending:
                     break
                 kf, stages = self.pending[0]
@@ -147,11 +193,40 @@ class Slam:
                     break
                 stage = self._run_pending_stage()
                 if stage in LocalMapper.DISPATCH_STAGES:
-                    # device work in flight: its merge runs next frame,
-                    # overlapped with the interleaved tracking
-                    break
+                    # up to two kernels in flight per tick: the pipelined
+                    # frame loop runs ~3x the mapped-stage cadence, and a
+                    # one-dispatch-per-frame clock stretches each
+                    # keyframe's queue residency (the mapper-busy gate!)
+                    # until keyframe acceptance starves
+                    dispatched += 1
+                    if dispatched >= 2:
+                        break
         # mapping stages mutate the map: refresh the device-resident
         # tracking slice (one async upload) so the fused path sees it
+        self.tracker.refresh_fused_slice()
+
+    def _drain_mapping_hard(self):
+        """Finish every pending mapping stage NOW, aborting bundle
+        adjustment the way a new keyframe would (InterruptBA,
+        LocalMapping.cc:541-544): not-yet-dispatched BA is dropped,
+        between-stages BA writes back its 5-iteration state. Blocks on the
+        in-flight pulls (~30 ms each) — used only when the tracker is
+        degrading and needs the mapper idle to insert a keyframe."""
+        while self.pending:
+            kf, stages = self.pending[0]
+            if "ba_d" in stages:
+                for s_ in ("ba_d", "ba_m", "ba2_d", "ba2_m"):
+                    if s_ in stages:
+                        stages.remove(s_)
+                if not stages:
+                    self.pending.pop(0)
+                    continue
+            elif "ba2_d" in stages:
+                i = stages.index("ba2_d")
+                del stages[i:i + 2]
+                stages.insert(i, "ba_abort")
+            self._run_pending_stage()
+        self.mapper.drain_attrs(force=True)
         self.tracker.refresh_fused_slice()
 
     def _drain_inflight(self, force: bool = False, drain_all: bool = False):

@@ -33,14 +33,19 @@ class PullPool:
         return self._ex.submit(jax.device_get, tree)
 
 
-_POOL: PullPool | None = None
+_POOLS: dict = {}
 
 
-def pull_pool() -> PullPool:
-    global _POOL
-    if _POOL is None:
-        _POOL = PullPool()
-    return _POOL
+def pull_pool(name: str = "track") -> PullPool:
+    """Named pools: the per-frame tracking pulls saturate their own pool
+    under deep pipelining; mapping-stage pulls get a separate one so a
+    merge's result does not queue behind six frame results (the stage
+    queue's residency is what gates keyframe acceptance — see
+    Slam._mapper_busy)."""
+    pool = _POOLS.get(name)
+    if pool is None:
+        pool = _POOLS[name] = PullPool(workers=4 if name != "track" else 8)
+    return pool
 
 
 def get_result(pending):
