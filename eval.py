@@ -24,11 +24,20 @@ import time
 import numpy as np
 
 
-def run_sequence(seq, cfg, vocab, frames, gt_poses=None, verbose=True):
+def run_sequence(seq, cfg, vocab, frames, gt_poses=None, verbose=True,
+                 warmup=True):
     from orbslam_jpminipc_tpu.pipeline.system import Slam
     from orbslam_jpminipc_tpu.io.trajectory import ate_rmse
 
     slam = Slam(cfg, vocab=vocab)
+    if warmup:
+        # compile every program BEFORE the measured run (bench.py warms up
+        # too): without this the fps column mixes XLA compile spikes into
+        # the accuracy record and is useless for perf triage
+        t_w = time.time()
+        slam.warmup()
+        if verbose:
+            print(f"  warmup: {time.time()-t_w:.1f}s", file=sys.stderr)
     n = min(frames, len(seq))
     states = []
     t0 = time.time()
@@ -98,6 +107,7 @@ def main(argv=None):
     ap.add_argument("--out", default=None,
                     help="write the aggregate results JSON to this path")
     ap.add_argument("--n-features", type=int, default=1000)
+    ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args(argv)
 
     from orbslam_jpminipc_tpu.utils.jaxcache import enable_persistent_cache
@@ -118,7 +128,7 @@ def main(argv=None):
     if args.tum:
         cfg = SlamConfig(n_features=args.n_features)
         seq = TumDataset(args.tum)
-        res = run_sequence(seq, cfg, vocab, args.frames)
+        res = run_sequence(seq, cfg, vocab, args.frames, warmup=not args.no_warmup)
         print(json.dumps({"metric": "tum_run", **res}))
         return
 
@@ -135,7 +145,7 @@ def main(argv=None):
             round(float(seq.timestamps[i]), 6): seq.poses[i]
             for i in range(len(seq))
         }
-        res = run_sequence(seq, cfg, vocab, n, gt_poses=gt)
+        res = run_sequence(seq, cfg, vocab, n, gt_poses=gt, warmup=not args.no_warmup)
         # headline = keyframe-trajectory ATE: the reference dumps keyframes
         # only (main.cc:226-245) and the TRO'15 numbers evaluate that
         print(json.dumps({"metric": f"kf_ate_rmse_{name}", "unit": "m",

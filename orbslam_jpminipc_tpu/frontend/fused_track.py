@@ -199,9 +199,14 @@ def make_fused_step(cfg: SlamConfig, n_map: int = MAX_SLICE):
         # extra ~25x-radius pass (~100 px at level 0) from the un-predicted
         # previous pose fills that role.
         def wide_recovery(_):
+            # anchor on EVERY valid slice point, not just established ones:
+            # in a sustained rotation the view slides onto freshly
+            # triangulated (2-obs) geometry and the established subset in
+            # the frustum can be empty — exactly the frames where this
+            # recovery pass is the last line before LOST
             r, _, _, _, _ = match_pass(
                 orthonormalize(R_prev), t_prev,
-                xyz, normal, mind, maxd, anchor, desc,
+                xyz, normal, mind, maxd, valid, desc,
                 xy_un, feats.desc, feats.level, feats.valid,
                 radius_mult=25.0, nn_ratio=0.9, n_rounds=2,
             )

@@ -16,6 +16,7 @@ growth belongs to the local-mapping stage.
 from __future__ import annotations
 
 import enum
+import functools
 
 import numpy as np
 import jax
@@ -163,7 +164,7 @@ def _track_local_map_prog(mp_xyz, mp_normal, mp_mind, mp_maxd, mp_desc,
     xw_f = jnp.where(new_has[:, None],
                      mp_xyz[jnp.clip(feat_q, 0, nq - 1)], prev_xw)
     res = pose_opt.optimize_pose(R, t, xw_f, f_xy, w, has, K4)
-    return visible, m.idx, m.mask, has, res
+    return visible, m.idx, m.mask, feat_q, has, res
 
 
 @jax.jit
@@ -185,17 +186,19 @@ def _reloc_candidate_prog(key, f_desc, f_xy, f_angle, f_level, f_valid, w,
     return m.idx, m.mask, res.success, sel, opt
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
 def _reloc_refine_prog(q_desc, uv_proj, q_level, valid_q, q_xw,
                        f_desc, f_xy, f_level, f_valid, prev_xw, prev_has,
-                       w, R, t, K4, scale_factors):
-    """The post-PnP projection-search ladder rung as ONE program/pull
+                       w, R, t, K4, scale_factors,
+                       radius: float = 10.0, max_dist: int = 100):
+    """One post-PnP projection-search ladder rung as ONE program/pull
     (Tracking.cc:988-1027): project the candidate KF's points, re-match
-    with a 10 px radius, re-optimize on the union."""
+    within `radius` px (the reference runs a 10 px/dist-100 rung, then a
+    3 px/dist-64 rung when 30 <= inliers < 50), re-optimize on the union."""
     m = matching.search_by_projection(
         q_desc, uv_proj, q_level, valid_q,
         f_desc, f_xy, f_level, f_valid, scale_factors,
-        radius=10.0, max_dist=100, nn_ratio=1.0, level_window=(-1, 1))
+        radius=radius, max_dist=max_dist, nn_ratio=1.0, level_window=(-1, 1))
     n = f_xy.shape[0]
     nq = m.idx.shape[0]
     feat_q = jnp.full((n,), -1, jnp.int32)
@@ -206,7 +209,7 @@ def _reloc_refine_prog(q_desc, uv_proj, q_level, valid_q, q_xw,
     xw_f = jnp.where(new_has[:, None],
                      q_xw[jnp.clip(feat_q, 0, nq - 1)], prev_xw)
     res = pose_opt.optimize_pose(R, t, xw_f, f_xy, w, has, K4)
-    return m.idx, m.mask, has, res
+    return m.idx, m.mask, feat_q, has, res
 
 
 class Tracker:
@@ -603,10 +606,13 @@ class Tracker:
         ))
         if mmask.sum() < 20:
             return False
-        frame.point[:] = -1
-        frame.point[midx[mmask]] = lp[mmask]
-        frame.point_gen[midx[mmask]] = self.map.mp_gen[lp[mmask]]
+        # bindings from the program's feat_q (see _track_local_map: the
+        # host table must be the one the optimizer scored)
         has = feat_q >= 0
+        fq = np.clip(feat_q, 0, len(lp) - 1)
+        frame.point[:] = -1
+        frame.point[has] = lp[fq[has]]
+        frame.point_gen[has] = self.map.mp_gen[lp[fq[has]]]
         frame.outlier = has & ~np.asarray(res.inliers)
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
@@ -671,7 +677,7 @@ class Tracker:
         lp[frame.outlier] = -1
         prev_has = lp >= 0
         prev_xw = self.map.mp_xyz[np.clip(lp, 0, self.map.max_mp - 1)]
-        visible, midx, mmask, has, res = jax.device_get(_track_local_map_prog(
+        visible, midx, mmask, feat_q, has, res = jax.device_get(_track_local_map_prog(
             jnp.array(self.map.mp_xyz[pts_pad]),
             jnp.array(self.map.mp_normal[pts_pad]),
             jnp.array(self.map.mp_min_dist[pts_pad]),
@@ -690,9 +696,22 @@ class Tracker:
         visible = visible & pvalid
         # visibility statistics (Frame::isInFrustum -> IncreaseVisible)
         self.map.mp_visible[pts_pad[visible]] += 1
-        frame.point[midx[mmask]] = pts_pad[mmask]
-        frame.point_gen[midx[mmask]] = self.map.mp_gen[pts_pad[mmask]]
-
+        # Rebuild bindings from the PROGRAM's own feat_q so the host's
+        # frame.point describes exactly the set the pose optimizer saw:
+        # (a) features whose prior binding was outlier and were NOT
+        # re-matched are cleared (they kept point >= 0 but lost the outlier
+        # flag before — rejected matches then leaked into the map as
+        # observations; the reference re-evaluates every binding each pass,
+        # Optimizer.cc:242-276); (b) duplicate-target ties resolve to the
+        # winner the optimizer actually used, not a host-side last-write.
+        new_has = feat_q >= 0
+        fq = np.clip(feat_q, 0, MAX_LOCAL_POINTS - 1)
+        frame.point = np.where(
+            new_has, pts_pad[fq], np.where(prev_has, lp, -1)
+        ).astype(np.int32)
+        frame.point_gen = np.where(
+            new_has, self.map.mp_gen[pts_pad[fq]], frame.point_gen
+        ).astype(np.int32)
         frame.outlier = has & ~np.asarray(res.inliers)
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
@@ -723,18 +742,26 @@ class Tracker:
         ref_matches = int((self.map.kf_point[self.ref_kf] >= 0).sum())
         idle = self.mapper_busy is None or not self.mapper_busy()
         c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
-        c1b = idle  # mMinFrames = 0 (Tracking.cc:77)
         c2 = self.n_inliers < 0.9 * ref_matches and self.n_inliers > 15
-        if not ((c1a or c1b) and c2):
+        if not c2:
             return False
         # mapper busy: the reference interrupts the running BA instead of
         # inserting (InterruptBA, :692-698); our amortized queue drops the
         # pending BA stage when the KF does get inserted, so defer — unless
         # tracking is decaying hard, in which case insert anyway (ORB-SLAM2's
         # idle-override: interrupt BA and take the KF; the queue can hold
-        # several keyframes, Tracking.cc of ORB_SLAM2 NeedNewKeyFrame)
+        # several keyframes). The urgent override must NOT sit behind the
+        # idle gate: in a continuous rotation the amortized mapper is busy
+        # for most frames, and deferring keyframes until it idles starves
+        # the map exactly when the view is sliding onto fresh geometry —
+        # tracking decayed to LOST with the urgent branch unreachable.
         urgent = self.n_inliers < 0.5 * ref_matches
-        return idle or c1a or urgent
+        from ..utils.tracing import get_tracer
+
+        get_tracer().log("kf_decision", frame=int(frame.frame_id),
+                         inl=self.n_inliers, ref=ref_matches, idle=idle,
+                         c1a=bool(c1a), urgent=bool(urgent))
+        return c1a or urgent or idle  # c1b = idle (mMinFrames = 0, :77)
 
     def _create_keyframe(self, frame: Frame):
         if self.on_new_keyframe is not None:
@@ -748,9 +775,14 @@ class Tracker:
     def _relocalize(self, frame: Frame) -> bool:
         if self.kfdb is None:
             return False
+        from ..utils.tracing import get_tracer
+
+        tracer = get_tracer()
         qbow = self.kfdb.query_bow(frame.desc, frame.valid)
         self.kfdb.set_covisibility(self.map.covisibility())
         cands = self.kfdb.detect_reloc_candidates(qbow)
+        tracer.log("reloc_candidates", frame=int(frame.frame_id),
+                   cands=[int(c) for c in cands])
         st, cfg = self.map, self.cfg
         max_err = 5.991 * cfg.sigma2[np.clip(frame.level, 0, cfg.n_levels - 1)]
         w = cfg.inv_sigma2[np.clip(frame.level, 0, cfg.n_levels - 1)]
@@ -771,6 +803,9 @@ class Tracker:
                 jnp.array(kf_has), jnp.array(st.mp_xyz[mp_safe]),
                 jnp.array(max_err.astype(np.float32)), jnp.array(cfg.K4),
             ))
+            tracer.log("reloc_attempt", frame=int(frame.frame_id),
+                       kf=int(kf), n_match=int(mask.sum()),
+                       pnp_ok=bool(pnp_ok))
             if mask.sum() < 15 or not bool(pnp_ok):
                 continue
             mp = np.where(sel, kf_point[idx], -1)
@@ -781,6 +816,8 @@ class Tracker:
             frame.R = np.asarray(opt.R)
             frame.t = np.asarray(opt.t)
             self.n_inliers = int(opt.n_inliers)
+            tracer.log("reloc_opt", frame=int(frame.frame_id), kf=int(kf),
+                       n_inliers=self.n_inliers)
             if self.n_inliers >= 10:
                 if self.n_inliers >= 50 or self._reloc_refine(frame, kf):
                     self.last_reloc_frame_id = frame.frame_id
@@ -788,8 +825,19 @@ class Tracker:
         return False
 
     def _reloc_refine(self, frame: Frame, kf: int) -> bool:
-        """Projection-search ladder after a weak PnP (Tracking.cc:988-1027)
-        — ONE program/pull."""
+        """The reference's full post-PnP refinement ladder
+        (Tracking.cc:988-1027): a 10 px projection-search rung, and — when
+        it lands in [30, 50) inliers — a second, tighter 3 px / ORB-dist-64
+        rung from the once-refined pose. Accept at >= 50."""
+        if self._reloc_refine_rung(frame, kf, radius=10.0, max_dist=100):
+            return True
+        if 30 <= self.n_inliers < 50:
+            return self._reloc_refine_rung(frame, kf, radius=3.0, max_dist=64)
+        return False
+
+    def _reloc_refine_rung(self, frame: Frame, kf: int, radius: float,
+                           max_dist: int) -> bool:
+        """One projection-search + re-optimize rung — ONE program/pull."""
         st, cfg = self.map, self.cfg
         q = st.kf_point[kf].copy()
         valid_q = q >= 0
@@ -810,7 +858,7 @@ class Tracker:
         prev_has = lp >= 0
         prev_xw = st.mp_xyz[np.clip(lp, 0, st.max_mp - 1)]
         w = cfg.inv_sigma2[np.clip(frame.level, 0, cfg.n_levels - 1)]
-        midx, mmask, has, res = jax.device_get(_reloc_refine_prog(
+        midx, mmask, feat_q, has, res = jax.device_get(_reloc_refine_prog(
             jnp.array(st.mp_desc[mpid]), jnp.array(uv_proj),
             jnp.array(st.kf_level[kf]), jnp.array(valid_q), jnp.array(xw),
             self._feat(frame, "desc"), self._feat(frame, "xy_un"),
@@ -819,13 +867,27 @@ class Tracker:
             jnp.array(w.astype(np.float32)),
             jnp.array(frame.R), jnp.array(frame.t), jnp.array(cfg.K4),
             jnp.array(cfg.scale_factors),
+            radius=radius, max_dist=max_dist,
         ))
-        frame.point[midx[mmask]] = q[mmask]
-        frame.point_gen[midx[mmask]] = st.mp_gen[q[mmask]]
+        new_has = feat_q >= 0
+        fqc = np.clip(feat_q, 0, len(q) - 1)
+        frame.point = np.where(
+            new_has, q[fqc], np.where(prev_has, lp, -1)
+        ).astype(np.int32)
+        frame.point_gen = np.where(
+            new_has, st.mp_gen[np.clip(q[fqc], 0, st.max_mp - 1)],
+            frame.point_gen,
+        ).astype(np.int32)
         frame.outlier = has & ~np.asarray(res.inliers)
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
         self.n_inliers = int(res.n_inliers)
+        from ..utils.tracing import get_tracer
+
+        get_tracer().log("reloc_refine", frame=int(frame.frame_id),
+                         kf=int(kf), radius=radius,
+                         n_new=int(new_has.sum()),
+                         n_inliers=self.n_inliers)
         return self.n_inliers >= 50
 
     def force_relocalization(self):

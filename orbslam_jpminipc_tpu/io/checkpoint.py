@@ -70,19 +70,15 @@ def load_world(path: str, kfdb=None) -> MapState:
                 continue
             vals = dense[kf, ids].astype(np.float32)
             if len(ids) > S:
-                keep = np.argsort(-vals)[:S]
+                # keep top-S by weight, ids re-sorted: the vectorized
+                # database scan requires ascending word ids per row
+                keep = np.sort(np.argsort(-vals)[:S])
                 ids, vals = ids[keep], vals[keep]
             vals = vals / max(vals.sum(), 1e-12)
             kfdb.present[kf] = True
             kfdb.bow_n[kf] = len(ids)
             kfdb.bow_ids[kf, :len(ids)] = ids
             kfdb.bow_vals[kf, :len(ids)] = vals
-        kfdb._inv.clear()
-        for kf in np.nonzero(kfdb.present)[0]:
-            n = int(kfdb.bow_n[kf])
-            for w, v in zip(kfdb.bow_ids[kf, :n].tolist(),
-                            kfdb.bow_vals[kf, :n].tolist()):
-                kfdb._inv.setdefault(w, {})[int(kf)] = v
     elif kfdb is not None and "kfdb_bow_ids" in z:
         saved = z["kfdb_bow_ids"]
         if saved.shape != kfdb.bow_ids.shape:
@@ -95,14 +91,6 @@ def load_world(path: str, kfdb=None) -> MapState:
         kfdb.bow_vals[...] = z["kfdb_bow_vals"]
         kfdb.bow_n[...] = z["kfdb_bow_n"]
         kfdb.present[...] = z["kfdb_present"]
-        # rebuild the inverted file (the reference re-adds loaded KFs to the
-        # database the same way, SaveLoadWorld.h load path)
-        kfdb._inv.clear()
-        for kf in np.nonzero(kfdb.present)[0]:
-            n = int(kfdb.bow_n[kf])
-            for w, v in zip(kfdb.bow_ids[kf, :n].tolist(),
-                            kfdb.bow_vals[kf, :n].tolist()):
-                kfdb._inv.setdefault(w, {})[int(kf)] = v
     return state
 
 
@@ -136,7 +124,15 @@ def load_slam(path: str, slam):
     slam.mapper._tri_pending = None
     slam.mapper._fuse_pending = None
     slam.mapper._ba_pending = None
+    slam.mapper._ba_stage1 = None
+    slam.mapper._ba2_pending = None
     slam.mapper._attrs_pending = []
     slam.mapper._attrs_inflight = None
     slam.pending = []
+    # in-flight pipelined tracking records were dispatched against the
+    # pre-load device state: drop them (the fused-epoch bump above marks
+    # them stale, but a mid-run load must not reprocess pre-load frames
+    # into the loaded map) and forget the pre-load completed result
+    slam._inflight.clear()
+    slam._last_result = (TrackState.LOST, None)
     return slam

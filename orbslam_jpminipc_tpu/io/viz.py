@@ -52,9 +52,12 @@ def draw_frame(image: np.ndarray, frame: Frame, state: TrackState,
     return vis
 
 
-def draw_map_topdown(state: MapState, size: int = 640, pad: float = 0.1) -> np.ndarray:
-    """Orthographic x-z map view: points, keyframes, spanning tree
-    (MapPublisher::Publish{MapPoints,KeyFrames} equivalents)."""
+def draw_map_topdown(state: MapState, size: int = 640, pad: float = 0.1,
+                     covis_weight: int = 15) -> np.ndarray:
+    """Orthographic x-z map view: points, keyframes, covisibility graph
+    (weight >= 15) and spanning tree — the same marker set the reference's
+    MapPublisher draws (src/MapPublisher.cc:29-117: points, frusta,
+    covisibility LINE_LIST, spanning tree, current camera)."""
     import cv2
 
     vis = np.full((size, size, 3), 255, np.uint8)
@@ -76,6 +79,17 @@ def draw_map_topdown(state: MapState, size: int = 640, pad: float = 0.1) -> np.n
 
     for p in pts:
         cv2.circle(vis, to_px(p[[0, 2]]), 1, (80, 80, 80), -1)
+    # covisibility-graph edges (weight >= covis_weight, MapPublisher.cc
+    # :29-117 draws the graph in green; light so the tree stays readable)
+    kf_index = {int(k): i for i, k in enumerate(kfs)}
+    covis = state.covisibility()
+    for i, k in enumerate(kfs):
+        for n in np.nonzero(covis[k] >= covis_weight)[0]:
+            j = kf_index.get(int(n))
+            if j is None or j <= i:
+                continue
+            cv2.line(vis, to_px(centers[i][[0, 2]]),
+                     to_px(centers[j][[0, 2]]), (120, 220, 120), 1)
     # spanning tree edges
     for k in kfs:
         parent = state.kf_parent[k]

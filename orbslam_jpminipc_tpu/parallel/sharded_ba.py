@@ -166,10 +166,20 @@ def sharded_bundle_adjust(
         rhs = jnp.where(fixed[:, None], 0.0, rhs)
 
         Smat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-        delta_c = jax.scipy.linalg.solve(
-            Smat + 1e-8 * jnp.eye(K * 6, dtype=Smat.dtype), -rhs.reshape(-1),
+        # Jacobi (diagonal) scaling before the f32 Cholesky: the Schur
+        # complement mixes rotation/translation blocks whose diagonals span
+        # orders of magnitude, and the raw condition number amplifies the
+        # shard-order f32 rounding differences into visibly divergent LM
+        # trajectories across device counts (SCALING_r04 showed 9%-of-extent
+        # point drift at 8 devices). D^-1/2 S D^-1/2 keeps the solve
+        # well-conditioned without f64 (which TPUs only emulate).
+        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(Smat)), 1e-12))
+        Sn = Smat / (d[:, None] * d[None, :])
+        rhs_n = -rhs.reshape(-1) / d
+        delta_c = (jax.scipy.linalg.solve(
+            Sn + 1e-7 * jnp.eye(K * 6, dtype=Smat.dtype), rhs_n,
             assume_a="pos",
-        ).reshape(K, 6)
+        ) / d).reshape(K, 6)
 
         At_dc = jnp.einsum("pcij,ci->pj", A, delta_c)
         delta_p = jnp.einsum("pij,pj->pi", U, -bp - At_dc)

@@ -208,6 +208,11 @@ class LocalMapper:
         if self.kfdb is not None:
             for k in erased:
                 self.kfdb.erase(k)
+        if erased:
+            from ..utils.tracing import get_tracer
+
+            get_tracer().log("kf_culled", kf=int(kf),
+                             erased=[int(k) for k in erased])
         return erased
 
     # ------------------------------------------------------------------
@@ -357,6 +362,11 @@ class LocalMapper:
             st.mp_min_dist[all_new] = dmax / cfg.scale_factors[-1]
             self._attrs_pending.extend(int(i) for i in all_new)
             self.dmap.sync_points(st, all_new)
+        get_tracer().log(
+            "triangulated", kf=int(kf),
+            n_new=int(sum(len(i) for i in new_ids)),
+            n_neighbors=len(active),
+        )
 
     # ------------------------------------------------------------------
     # duplicate fusion (SearchInNeighbors :395-472)

@@ -83,6 +83,10 @@ class LoopCloser:
         self.kfdb.set_covisibility(covis)
         qbow = self.kfdb.bow_of(kf)
         candidates = self.kfdb.detect_loop_candidates(kf, qbow, covis[kf])
+        get_tracer().log(
+            "loop_detect", kf=int(kf), cands=[int(c) for c in candidates],
+            n_groups=len(self.consistent_groups),
+        )
         if not candidates:
             self.consistent_groups = []
             return []
@@ -104,6 +108,12 @@ class LoopCloser:
             if best_consistency >= self.covisibility_consistency_th:
                 enough.append(c)
         self.consistent_groups = current_groups
+        if candidates:
+            get_tracer().log(
+                "loop_consistency", kf=int(kf),
+                enough=[int(c) for c in enough],
+                counts=[int(c) for _, c in current_groups],
+            )
         return enough
 
     # ------------------------------------------------------------------
@@ -121,6 +131,8 @@ class LoopCloser:
                 max_dist=50, nn_ratio=0.75, check_rotation=True,
             )
             mask, idx = jax.device_get([m.mask, m.idx])  # one RPC
+            get_tracer().log("sim3_mutual", kf=int(kf), cand=int(cand),
+                             n_match=int(mask.sum()))
             if mask.sum() < 20:
                 continue
             p_c = st.kf_point[kf]
@@ -170,11 +182,16 @@ class LoopCloser:
             )
             opt = jax.device_get(opt)
             if int(opt.n_inliers) < 20:
+                get_tracer().log("sim3_opt_reject", kf=int(kf),
+                                 cand=int(cand),
+                                 n_inliers=int(opt.n_inliers))
                 continue
             # guided projection of the loop neighborhood's points (:355-399)
             total, loop_points, loop_point_ids = self._guided_matches(
                 kf, cand, float(opt.s12), np.asarray(opt.R12), np.asarray(opt.t12)
             )
+            get_tracer().log("sim3_guided", kf=int(kf), cand=int(cand),
+                             total=int(total))
             if total >= 40:
                 return (True, cand, float(opt.s12), np.asarray(opt.R12),
                         np.asarray(opt.t12), loop_points, loop_point_ids)
@@ -465,14 +482,20 @@ class LoopCloser:
             R_v[k] = R
             t_v[k] = t
 
-        e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
+        # edges collected in PRIORITY BUCKETS: when the static capacity
+        # overflows, structural edges (loop connections, spanning tree,
+        # prior loop edges) must all survive and only the WEAKEST strong-
+        # covisibility edges drop (the reference uses all edges,
+        # Optimizer.cc:1486-1664; a fixed-shape program must rank them)
+        e_i, e_j, e_s, e_R, e_t, e_prio = [], [], [], [], [], []
 
-        def add_edge(i, j, meas):
+        def add_edge(i, j, meas, prio=0.0):
             e_i.append(i)
             e_j.append(j)
             e_s.append(meas[0])
             e_R.append(meas[1])
             e_t.append(meas[2])
+            e_prio.append(prio)
 
         def est(i):
             return (s_v[i], R_v[i], t_v[i])
@@ -493,14 +516,16 @@ class LoopCloser:
                 if key in seen:
                     continue
                 seen.add(key)
-                add_edge(i, j, _compose_np(est(j), _inverse_np(est(i))))
+                add_edge(i, j, _compose_np(est(j), _inverse_np(est(i))),
+                         prio=np.inf)
         # the explicit current<->loop edge (always present: the reference's
         # weight-gate exemption guarantees it once fusion links the pair)
         key = (min(kf, loop_kf), max(kf, loop_kf))
         if key not in seen:
             seen.add(key)
             add_edge(kf, loop_kf,
-                     _compose_np(est(loop_kf), _inverse_np(est(kf))))
+                     _compose_np(est(loop_kf), _inverse_np(est(kf))),
+                     prio=np.inf)
 
         # normal edges (:1573-1664): measurements from NonCorrectedSim3
         for k in np.nonzero(valid)[0]:
@@ -511,31 +536,38 @@ class LoopCloser:
                 key = (min(k, parent), max(k, parent))
                 if key not in seen:
                     seen.add(key)
-                    add_edge(k, parent, _compose_np(noncorr(parent), Swi_pre))
+                    add_edge(k, parent, _compose_np(noncorr(parent), Swi_pre),
+                             prio=np.inf)
             for le in st.kf_loop_edges[k]:
                 le = int(le)
                 key = (min(k, le), max(k, le))
                 if valid[le] and le < k and key not in seen:
                     seen.add(key)
-                    add_edge(k, le, _compose_np(noncorr(le), Swi_pre))
+                    add_edge(k, le, _compose_np(noncorr(le), Swi_pre),
+                             prio=np.inf)
             # strong covisibility edges (weight >= 100, Optimizer.cc:1496)
             for n in np.nonzero(covis_after[k] >= 100)[0]:
                 n = int(n)
                 key = (min(k, n), max(k, n))
                 if valid[n] and n < k and key not in seen:
                     seen.add(key)
-                    add_edge(k, n, _compose_np(noncorr(n), Swi_pre))
+                    add_edge(k, n, _compose_np(noncorr(n), Swi_pre),
+                             prio=float(covis_after[k, n]))
 
         E = len(e_i)
         cap = cfg.eg_edges  # static edge capacity: one compiled program
         if E > cap:
-            # keep loop connections + spanning tree first (edge order above)
+            # rank by priority: structural edges (inf) always survive, the
+            # weakest strong-covisibility edges drop first
+            order = np.argsort(-np.asarray(e_prio), kind="stable")[:cap]
+            n_structural = int(np.sum(~np.isfinite(e_prio)))
             get_tracer().log(
                 "essential_graph_edges_dropped", total=E, cap=cap,
-                dropped=E - cap,
+                dropped=E - cap, structural=n_structural,
             )
-            e_i, e_j = e_i[:cap], e_j[:cap]
-            e_s, e_R, e_t = e_s[:cap], e_R[:cap], e_t[:cap]
+            take = lambda lst: [lst[i] for i in order]
+            e_i, e_j = take(e_i), take(e_j)
+            e_s, e_R, e_t = take(e_s), take(e_R), take(e_t)
             E = cap
         pad = cap - E
         prob = essential_graph.EssentialGraphProblem(

@@ -89,11 +89,15 @@ class Slam:
         degraded = (tr.n_inliers < self.cfg.pipeline_guard_inliers
                     or tr.n_inliers < 0.7 * self._inlier_peak)
         if degraded:
-            if getattr(self, "_latency_frames", 0) == 0 and self.pending:
-                # entering latency mode: interrupt BA and finish the
-                # mapper's backlog NOW so the keyframe the tracker needs is
-                # not refused by the busy gate (InterruptBA dynamics,
-                # Tracking.cc:692-698)
+            if self.pending:
+                # degraded tracking: interrupt BA and finish the mapper's
+                # backlog NOW — every degraded frame, not only on entering
+                # latency mode — so the keyframe the tracker needs is not
+                # refused by the busy gate (InterruptBA dynamics,
+                # Tracking.cc:692-698). During a sustained rotation the
+                # queue refills each frame; draining only on entry left the
+                # mapper busy for most of the collapse window and keyframe
+                # insertion starved all the way to LOST.
                 with self.tracer.stage("mapping_hard_drain"):
                     self._drain_mapping_hard()
             self._latency_frames = 10
@@ -115,7 +119,18 @@ class Slam:
             # still overlaps (full-sync processing costs 2-3x on healthy
             # translation-rich sequences that merely dip for a moment)
             depth = 1 if self._latency_frames > 0 else self.cfg.pipeline_depth
-            self._drain_inflight(force=len(self._inflight) > depth)
+            # bound the DECISION lag independently of the queue budget:
+            # when the depth flips 1 -> pipeline_depth after a latency
+            # episode, the refill phase used to complete nothing for
+            # `depth` frames and then burst — a keyframe-decision blackout
+            # that, mid-rotation, starves the map straight to LOST. Force
+            # the head out once it is >= 3 submissions old (its pull has
+            # had ~3 frame periods; on the tunnel that is 3x the RPC
+            # latency, so this almost never actually blocks).
+            head_stale = bool(self._inflight) and (
+                frame_id - self._inflight[0].frame_id >= 3)
+            self._drain_inflight(
+                force=len(self._inflight) > depth or head_stale)
             return self._last_result
         # host/sync path: complete every in-flight frame first (ordering)
         self._drain_inflight(force=True, drain_all=True)
@@ -208,23 +223,26 @@ class Slam:
     def _drain_mapping_hard(self):
         """Finish every pending mapping stage NOW, aborting bundle
         adjustment the way a new keyframe would (InterruptBA,
-        LocalMapping.cc:541-544): not-yet-dispatched BA is dropped,
-        between-stages BA writes back its 5-iteration state. Blocks on the
-        in-flight pulls (~30 ms each) — used only when the tracker is
-        degrading and needs the mapper idle to insert a keyframe."""
+        LocalMapping.cc:541-544): the 5-iteration first BA stage still
+        runs (the reference's aborted BA also writes back the iterations
+        it completed, Optimizer.cc:450-452), only the second 10-iteration
+        stage is skipped. Dropping BA outright here starved the map of
+        refinement during sustained rotations — every frame was degraded,
+        every drain killed the queued BA, and the freshly triangulated
+        geometry drifted until tracking died. Blocks on the in-flight
+        pulls (~30 ms each) — used only when the tracker is degrading and
+        needs the mapper idle to insert a keyframe."""
         while self.pending:
             kf, stages = self.pending[0]
-            if "ba_d" in stages:
-                for s_ in ("ba_d", "ba_m", "ba2_d", "ba2_m"):
-                    if s_ in stages:
-                        stages.remove(s_)
-                if not stages:
-                    self.pending.pop(0)
-                    continue
-            elif "ba2_d" in stages:
+            if "ba2_d" in stages:
                 i = stages.index("ba2_d")
                 del stages[i:i + 2]
-                stages.insert(i, "ba_abort")
+                # ba_abort writes the 5-iteration state back to the map —
+                # after ba_m when stage 1 is still queued, immediately in
+                # its place when stage 1 already ran
+                stages.insert(
+                    i if "ba_d" not in stages else stages.index("ba_m") + 1,
+                    "ba_abort")
             self._run_pending_stage()
         self.mapper.drain_attrs(force=True)
         self.tracker.refresh_fused_slice()
@@ -386,13 +404,15 @@ class Slam:
                 jnp.zeros((b,), jnp.float32),
                 q2["desc"], q2["angle"], q2["valid"], jnp.zeros((n2, 3)),
                 jnp.zeros((b,), jnp.float32), K4))
-            outs.append(T._reloc_refine_prog(
-                q2["desc"], q2["xy"], q2["level"], q2["valid"],
-                jnp.zeros((n2, 3)),
-                f["desc"], f["xy"], f["level"], f["valid"],
-                jnp.zeros((b, 3)), jnp.zeros((b,), bool),
-                jnp.zeros((b,), jnp.float32),
-                jnp.eye(3), jnp.zeros(3), K4, sf))
+            for radius, max_dist in ((10.0, 100), (3.0, 64)):
+                outs.append(T._reloc_refine_prog(
+                    q2["desc"], q2["xy"], q2["level"], q2["valid"],
+                    jnp.zeros((n2, 3)),
+                    f["desc"], f["xy"], f["level"], f["valid"],
+                    jnp.zeros((b, 3)), jnp.zeros((b,), bool),
+                    jnp.zeros((b,), jnp.float32),
+                    jnp.eye(3), jnp.zeros(3), K4, sf,
+                    radius=radius, max_dist=max_dist))
         outs.append(T._frustum(
             jnp.zeros((M, 3)), jnp.eye(3), jnp.zeros(3), K4,
             jnp.asarray(self.tracker.bounds), jnp.zeros((M, 3)),
@@ -470,6 +490,8 @@ class Slam:
         self.mapper._tri_pending = None
         self.mapper._fuse_pending = None
         self.mapper._ba_pending = None
+        self.mapper._ba_stage1 = None
+        self.mapper._ba2_pending = None
         self.mapper._attrs_pending = []
         self.mapper._attrs_inflight = None
         from ..map.device_map import DeviceMap

@@ -15,6 +15,7 @@ checkpoint/resume (SaveLoadWorld parity).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -82,8 +83,6 @@ def main(argv=None):
     if args.vocab:
         vocab = load_vocabulary(args.vocab)
     else:
-        import os
-
         data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
         # prefer the ORBvoc-style hierarchical vocabulary (64k words,
         # vocab/train.py --tree) — the analogue of the reference's shipped
@@ -109,17 +108,30 @@ def main(argv=None):
     if args.viz:
         os.makedirs(args.viz, exist_ok=True)
         viz_dir = args.viz
+    # in pipelined mode slam.process returns the most recently COMPLETED
+    # frame — up to pipeline_depth behind the image just submitted. The
+    # debug overlay must be drawn on the image that frame was tracked on,
+    # so keep a small frame_id -> image ring buffer.
+    viz_ring: dict[int, np.ndarray] = {}
 
-    def refresh_viz(i, frame, state):
+    def refresh_viz(i, img, frame, state):
         """FramePublisher/MapPublisher refresh (src/main.cc:210-218)."""
         if viz_dir is None:
             return
         import cv2
         from .io.viz import draw_frame, draw_map_topdown
 
-        if frame is not None:
-            img_dbg = draw_frame(np.asarray(frame_img), frame, state,
-                                 n_kf=slam.n_keyframes, n_mp=slam.n_points)
+        # the image just submitted got SLAM frame id frame_count-1 (the
+        # dataset index `i` diverges from it in realtime mode, where
+        # dropped frames never reach slam.process)
+        fid = slam.frame_count - 1
+        viz_ring[fid] = img
+        for k in [k for k in viz_ring if k < fid - 2 * cfg.pipeline_depth]:
+            del viz_ring[k]
+        if frame is not None and frame.frame_id in viz_ring:
+            img_dbg = draw_frame(
+                np.asarray(viz_ring[frame.frame_id]), frame, state,
+                n_kf=slam.n_keyframes, n_mp=slam.n_points)
             cv2.imwrite(os.path.join(viz_dir, "frame.png"), img_dbg)
         cv2.imwrite(os.path.join(viz_dir, "map.png"),
                     draw_map_topdown(slam.map))
@@ -143,9 +155,8 @@ def main(argv=None):
         done = 0
         while i < n:
             img, ts, _ = seq.get(i)
-            frame_img = img
             state, frame = slam.process(img, ts)
-            refresh_viz(i, frame, state)
+            refresh_viz(i, img, frame, state)
             done += 1
             if done % 20 == 0:
                 print(f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "
@@ -162,9 +173,8 @@ def main(argv=None):
     else:
         for i in range(n):
             img, ts, _ = seq.get(i)
-            frame_img = img
             state, frame = slam.process(img, ts)
-            refresh_viz(i, frame, state)
+            refresh_viz(i, img, frame, state)
             if i % 20 == 0:
                 print(
                     f"[{i}/{n}] {state.name} kfs={slam.n_keyframes} "

@@ -44,8 +44,13 @@ def _barycentric(xw, ctrl):
         [jnp.swapaxes(ctrl, -1, -2),
          jnp.ones_like(ctrl[..., None, :, 0])], axis=-2)  # (..., 4, 4)
     X = jnp.concatenate([xw, jnp.ones_like(xw[..., :1])], axis=-1)  # (..., M, 4)
-    # adjugate-free: one 4x4 solve per hypothesis, reused for all points
-    Cinv = jnp.linalg.inv(C)
+    # SVD pseudo-inverse, NOT inv: for (near-)coplanar world points the PCA
+    # control points collapse (third eigenvalue ~ 0) and C goes singular —
+    # the reference inverts CC with CV_SVD (PnPsolver.cc:383-406), which
+    # degrades gracefully on planar scenes (walls/floors are the common
+    # relocalization case). inv() would return NaNs and kill every
+    # hypothesis outright.
+    Cinv = jnp.linalg.pinv(C, rtol=1e-6)
     return jnp.einsum("...ij,...mj->...mi", Cinv, X)
 
 

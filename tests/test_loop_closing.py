@@ -142,6 +142,46 @@ def test_detects_and_corrects_drifted_loop(scene):
         assert err < 0.4 * drift_norm, (k, err)
 
 
+def test_essential_graph_edge_overflow_keeps_structural_edges(scene, monkeypatch):
+    """VERDICT r04 #6: beyond cfg.eg_edges the tail used to be dropped
+    blindly — at capacity pressure that discards constraints exactly when
+    the loop correction needs them. Now edges rank by priority: loop
+    connections + spanning tree + prior loop edges always survive; only
+    the weakest strong-covisibility edges drop (the reference uses ALL
+    edges, Optimizer.cc:1486-1664 — a fixed-shape program must rank)."""
+    from orbslam_jpminipc_tpu.solvers import essential_graph as eg
+
+    cfg, st, kfdb = scene
+    cfg.eg_edges = 12  # force overflow: 9 KFs give 8 spanning + 1 loop
+    # + several strong-covis edges
+    cfg.distributed_gba = False  # route through the spied single-device fn
+    captured = {}
+    real = eg.optimize_essential_graph
+
+    def spy(prob, iterations=20):
+        captured["prob"] = prob
+        return real(prob, iterations=iterations)
+
+    monkeypatch.setattr(eg, "optimize_essential_graph", spy)
+    lc = LoopCloser(cfg, st, kfdb)
+    closed = [lc.process(k) for k in (5, 6, 7, 8)]
+    assert any(closed), "loop was never closed"
+    prob = captured["prob"]
+    e_i = np.asarray(prob.e_i)[np.asarray(prob.e_valid)]
+    e_j = np.asarray(prob.e_j)[np.asarray(prob.e_valid)]
+    pairs = {(min(int(a), int(b)), max(int(a), int(b)))
+             for a, b in zip(e_i, e_j)}
+    assert len(pairs) <= 12
+    # every spanning-tree edge of a live KF must have survived the cut
+    for k in range(9):
+        p = int(st.kf_parent[k])
+        if p >= 0 and st.kf_valid[k] and st.kf_valid[p]:
+            assert (min(k, p), max(k, p)) in pairs, (k, p, pairs)
+    # the loop edge itself survived (closer KF <-> start region)
+    first = 5 + closed.index(True)
+    assert any((min(first, a), max(first, a)) in pairs for a in (0, 1)), pairs
+
+
 def test_correction_propagates_beyond_covisible_group():
     """Mid-chain keyframes OUTSIDE the covisible group must move toward
     ground truth: structural essential-graph measurements are taken from
@@ -288,6 +328,47 @@ class TestOrbitLoopEndToEnd:
         # full 360-degree sweep, ~1.4 m extent: stay under 4% of extent
         # after the loop correction rewrites every pose
         assert ate < 0.05, ate
+
+
+class TestOrbitLoopShippingConfig:
+    @pytest.mark.slow  # ~8 min on CPU: long-sequence integration tier
+    def test_orbit_closes_loop_pipelined_tree64k(self):
+        """VERDICT r04 #1: the SHIPPING configuration — pipelined tracking
+        + the 64k tree vocabulary, exactly what run.py/bench.py/eval.py
+        run — must survive the full 360-degree orbit and close its loop.
+        (The non-pipelined + flat-vocab variant above proved the loop
+        machinery; this proves the configuration users actually get.)"""
+        import os
+
+        from orbslam_jpminipc_tpu.io.dataset import SyntheticSequence
+        from orbslam_jpminipc_tpu.io.trajectory import ate_rmse
+        from orbslam_jpminipc_tpu.pipeline.system import Slam
+        from orbslam_jpminipc_tpu.vocab.vocabulary import load_vocabulary
+
+        cfg = SlamConfig(pipelined_tracking=True, n_features=1000,
+                         fx=500.0, fy=500.0, cx=320.0, cy=240.0)
+        voc = load_vocabulary(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "orbslam_jpminipc_tpu", "data", "vocab_tree64k.npz"))
+        n = 300
+        seq = SyntheticSequence(n_frames=n, trajectory="orbit", seed=0)
+        slam = Slam(cfg, vocab=voc)
+        for i in range(n):
+            img, ts, _ = seq.get(i)
+            slam.process(img, ts)
+        slam.finish()
+        assert slam.n_loops_closed >= 1, "orbit loop was not closed"
+        gt = {round(float(seq.timestamps[i]), 6): seq.poses[i]
+              for i in range(n)}
+        est, gtc = [], []
+        for ts, R, t in slam.trajectory:
+            if round(ts, 6) in gt:
+                Rg, tg = gt[round(ts, 6)]
+                est.append(-R.T @ t)
+                gtc.append(-Rg.T @ tg)
+        assert len(est) > 0.9 * n, f"tracked only {len(est)}/{n}"
+        ate = ate_rmse(np.stack(est), np.stack(gtc))
+        assert ate < 0.06, ate
 
 
 def test_culling_protects_gauge_and_loop_keyframes(scene):

@@ -231,3 +231,35 @@ class TestEPnP:
         assert int(res.n_inliers) >= 0.8 * (n - n_out), int(res.n_inliers)
         np.testing.assert_allclose(np.asarray(res.R), R_true, atol=2e-2)
         np.testing.assert_allclose(np.asarray(res.t), t_true, atol=0.05)
+
+    def test_epnp_exactly_planar(self, rng):
+        """ADVICE r04: EXACTLY coplanar world points (a wall — the common
+        relocalization case). The PCA control points collapse (third
+        eigenvalue 0), the barycentric 4x4 goes singular, and a plain
+        inverse NaNs every hypothesis; the reference's CV_SVD pseudo-
+        inverse (PnPsolver.cc:383-406) degrades gracefully — ours must
+        too."""
+        import jax
+        import jax.numpy as jnp
+        import cv2
+
+        K4 = jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32)
+        n = 60
+        xw = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                       np.zeros(n)], 1).astype(np.float32)  # z = 0 exactly
+        rvec = rng.normal(0, 0.25, 3)
+        R_true, _ = cv2.Rodrigues(rvec)
+        t_true = np.array([0.05, -0.1, 4.0], np.float64)
+        xc = xw @ R_true.T + t_true
+        uv = np.stack([500 * xc[:, 0] / xc[:, 2] + 320,
+                       500 * xc[:, 1] / xc[:, 2] + 240], 1).astype(np.float32)
+        uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
+
+        res = pnp.solve_pnp(
+            jax.random.key(1), jnp.asarray(xw), jnp.asarray(uv),
+            jnp.ones(n, bool), K4, jnp.full((n,), 5.991 * 4.0, jnp.float32),
+        )
+        assert bool(res.success), "planar scene must not kill every hypothesis"
+        assert int(res.n_inliers) >= 0.8 * n, int(res.n_inliers)
+        np.testing.assert_allclose(np.asarray(res.R), R_true, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(res.t), t_true, atol=0.08)

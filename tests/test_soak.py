@@ -66,3 +66,61 @@ def test_soak_long_run_stability(vocab):
     assert states.count("WORKING") > 0.9 * n, states.count("WORKING")
     assert tracked > 0.9 * n
     assert ate < 0.05, ate
+
+
+@pytest.mark.slow
+def test_soak_ten_laps_eviction_keeps_gauge_and_loop_edges(vocab):
+    """VERDICT r04 #8 long-map stress: 10 laps (1500 frames) through a
+    64-KF map — far more candidate keyframes than capacity, so
+    force_free_keyframe eviction + redundancy culling run continuously.
+    The indefinite-run property (reference main.cc:210-218 + culling
+    LocalMapping.cc:546-600) demands: no exception, capacities respected,
+    the gauge keyframe and every loop-edge anchor survive eviction
+    (KeyFrame.cc:501-503 / mbNotErase semantics), and the final-lap error
+    stays bounded."""
+    cfg = make_cfg(max_kf=64, max_mp=8192, local_ba_points=1024,
+                   local_ba_obs=4096, gba_obs=16384)
+    n_base, laps = 150, 10
+    seq = SyntheticSequence(n_frames=n_base, trajectory="orbit", seed=3)
+    frames = [seq.get(i) for i in range(n_base)]
+    slam = Slam(cfg, vocab=vocab)
+    states = []
+    for i in range(n_base * laps):
+        img, _, _ = frames[i % n_base]
+        state, _ = slam.process(img, i / 30.0)  # must never raise
+        states.append(state.name)
+    slam.finish()
+    st = slam.map
+    assert st.kf_valid.sum() <= cfg.max_kf
+    assert st.mp_valid.sum() <= cfg.max_mp
+    # gauge: the first lap's oldest keyframe must never have been evicted
+    # (protect_keyframes pins it through 10 laps of capacity pressure) —
+    # unless a garbage start forced a full reset, in which case the post-
+    # reset gauge must have survived every subsequent lap
+    valid_ids = np.nonzero(st.kf_valid)[0]
+    assert len(valid_ids) > 0
+    oldest = int(st.kf_frame_id[valid_ids].min())
+    assert oldest < 2 * n_base, oldest
+    # loop-edge anchors: every recorded loop edge still points at a live KF
+    n_loop_edges = 0
+    for k in valid_ids:
+        for le in st.kf_loop_edges[int(k)]:
+            n_loop_edges += 1
+            assert st.kf_valid[int(le)], (k, le)
+    if slam.n_loops_closed:
+        assert n_loop_edges > 0
+    # bounded error measured over the FINAL lap only (early laps include
+    # the pre-loop-closure drift)
+    final = [e for e in slam.trajectory
+             if e[0] >= (laps - 1) * n_base / 30.0]
+    est_c, gt_c = [], []
+    for ts, R, t in final:
+        i = int(round(ts * 30.0))
+        Rg, tg = frames[i % n_base][2]
+        gt_c.append(-Rg.T @ tg)
+        est_c.append(-R.T @ t)
+    assert len(est_c) > 0.5 * n_base, len(est_c)
+    ate = ate_rmse(np.stack(est_c), np.stack(gt_c))
+    assert ate < 0.15, ate
+    # the whole run must have kept tracking most of the time
+    assert states.count("WORKING") > 0.7 * n_base * laps

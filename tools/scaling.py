@@ -3,7 +3,7 @@
 Runs the map-partitioned bundle adjustment and the edge-sharded essential
 graph on 1/2/4/8 devices of a virtual CPU mesh (the same shard_map
 programs run unchanged on a real TPU slice over ICI) and records
-ms/iteration + single-device parity. Output: SCALING_r04.json (override with --out).
+ms/iteration + single-device parity. Output: SCALING_r05.json (override with --out).
 
 Usage: python tools/scaling.py  (forces JAX_PLATFORMS=cpu, 8 host devices)
 """
@@ -110,22 +110,36 @@ def main():
     iters = 5
     out = {"gba_ms_per_iter": {}, "eg_ms_per_iter": {},
            "shape": {"K": 256, "P": 16384, "O": 65536, "E": 2048}}
-    ref_pts = None
+    # scene extent for the relative parity yardstick (points span ~6 x 6 x 6 m)
+    extent = float(np.asarray(gprob.points).max() - np.asarray(gprob.points).min())
+    out["scene_extent_m"] = round(extent, 3)
+    conv_iters = 30  # parity is measured at CONVERGENCE: after a handful of
+    # iterations the f32 shard-order rounding flips LM accept bits and the
+    # trajectories differ transiently; the gauge-fixed optimum they converge
+    # to is unique, and that is what multi-device correctness means
+    ref_pts = ref_chi = None
     for n in (1, 2, 4, 8):
         mesh = Mesh(np.array(devs[:n]), ("points",))
         sprob = shard_ba_problem(gprob, n)
         dt = time_call(lambda: sharded_bundle_adjust(sprob, mesh, iterations=iters))
         out["gba_ms_per_iter"][n] = round(dt / iters, 2)
-        R, t, pts, chi, _out = sharded_bundle_adjust(sprob, mesh, iterations=iters)
+        R, t, pts, chi, _out = sharded_bundle_adjust(
+            sprob, mesh, iterations=conv_iters)
         flat = np.asarray(pts).reshape(-1, 3)
-        print(f"n={n} pts {np.asarray(pts).shape}", file=sys.stderr)
+        print(f"n={n} pts {np.asarray(pts).shape} chi={float(chi):.1f}",
+              file=sys.stderr)
         if ref_pts is None:
             ref_pts = flat
+            ref_chi = float(chi)
             out["gba_chi2_1dev"] = float(chi)
         else:
             m = min(len(flat), len(ref_pts))
-            out[f"gba_parity_maxdiff_{n}dev"] = float(
-                np.abs(flat[:m] - ref_pts[:m]).max())
+            md = float(np.abs(flat[:m] - ref_pts[:m]).max())
+            out[f"gba_parity_maxdiff_{n}dev"] = md
+            out[f"gba_parity_pct_extent_{n}dev"] = round(100.0 * md / extent, 3)
+            out[f"gba_chi2_{n}dev"] = float(chi)
+            out[f"gba_chi2_rel_{n}dev"] = round(
+                abs(float(chi) - ref_chi) / max(ref_chi, 1e-9), 5)
         emesh = Mesh(np.array(devs[:n]), ("edges",))
         esp = shard_essential_graph(eprob, n)
         dte = time_call(lambda: sharded_optimize_essential_graph(
@@ -135,7 +149,7 @@ def main():
               f"eg {out['eg_ms_per_iter'][n]} ms/iter", file=sys.stderr)
 
     out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv \
-        else "SCALING_r04.json"
+        else "SCALING_r05.json"
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
