@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import enum
 import functools
+from time import monotonic as _monotonic
 
 import numpy as np
 import jax
@@ -46,7 +47,7 @@ class FusedRecord:
     the async pull of its result buffer."""
 
     __slots__ = ("frame_id", "timestamp", "image", "out",
-                 "slice_ids", "slice_gen", "epoch", "future")
+                 "slice_ids", "slice_gen", "epoch", "future", "t_dispatch")
 
     def __init__(self, frame_id, timestamp, image, out,
                  slice_ids, slice_gen, epoch, future):
@@ -58,6 +59,7 @@ class FusedRecord:
         self.slice_gen = slice_gen
         self.epoch = epoch
         self.future = future
+        self.t_dispatch = _monotonic()
 
 
 

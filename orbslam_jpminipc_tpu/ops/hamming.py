@@ -17,7 +17,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_POPCNT8 = jnp.array([bin(i).count("1") for i in range(256)], jnp.int32)
 _SHIFTS = np.arange(8, dtype=np.uint8)
 
 
@@ -29,8 +28,13 @@ def unpack_bits(desc: jax.Array) -> jax.Array:
 
 
 def popcount_rows(desc: jax.Array) -> jax.Array:
-    """(N, 32) uint8 -> (N,) int32 number of set bits."""
-    return jnp.sum(_POPCNT8[desc.astype(jnp.int32)], axis=-1)
+    """(N, 32) uint8 -> (N,) int32 number of set bits.
+
+    lax.population_count is a native VPU op; a 256-entry lookup-table
+    gather here is catastrophically slow on TPU (XLA serializes gathers
+    whose index array is multi-dimensional: measured 25 ms for a
+    (1000,10,32)-indexed LUT vs 0.03 ms for the hardware popcount)."""
+    return jnp.sum(jax.lax.population_count(desc).astype(jnp.int32), axis=-1)
 
 
 def hamming_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
@@ -52,5 +56,5 @@ def hamming_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
 
 def hamming_pairwise(d1: jax.Array, d2: jax.Array) -> jax.Array:
     """Element-aligned Hamming distance: (..., 32) x (..., 32) -> (...,) int32."""
-    x = jnp.bitwise_xor(d1, d2).astype(jnp.int32)
-    return jnp.sum(_POPCNT8[x], axis=-1)
+    x = jnp.bitwise_xor(d1, d2)
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)

@@ -10,6 +10,8 @@ mapping + loop closing per new keyframe. The keyframe trajectory dump
 """
 from __future__ import annotations
 
+import time as _time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -124,11 +126,19 @@ class Slam:
             # episode, the refill phase used to complete nothing for
             # `depth` frames and then burst — a keyframe-decision blackout
             # that, mid-rotation, starves the map straight to LOST. Force
-            # the head out once it is >= 3 submissions old (its pull has
-            # had ~3 frame periods; on the tunnel that is 3x the RPC
-            # latency, so this almost never actually blocks).
-            head_stale = bool(self._inflight) and (
-                frame_id - self._inflight[0].frame_id >= 3)
+            # the head out once it is >= 3 submissions old — but only
+            # while a latency episode is live, or when the head is stale
+            # in WALL-CLOCK terms (the real decision-lag bound, ~5 frame
+            # periods at 30 fps). In healthy full-speed streaming the
+            # submission counter runs far ahead of the tunnel's ~25 ms
+            # completion latency, and a submission-count force there
+            # turns every frame into a blocking wait — serializing the
+            # whole pipeline to the completion-notification floor.
+            head = self._inflight[0] if self._inflight else None
+            head_stale = head is not None and (
+                frame_id - head.frame_id >= 3) and (
+                self._latency_frames > 0
+                or _time.monotonic() - head.t_dispatch > 0.15)
             self._drain_inflight(
                 force=len(self._inflight) > depth or head_stale)
             return self._last_result

