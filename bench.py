@@ -316,8 +316,14 @@ def bench_e2e():
     for k, v in stages.items():
         print(f"  stage {k}: p50 {v['p50_ms']} ms  p95 {v['p95_ms']} ms  "
               f"x{v['count']}", file=sys.stderr)
+    from orbslam_jpminipc_tpu.utils.tunnel import sync_floor_ms
+
     return {
         "fps": round(fps, 2),
+        # calibration: the device link's blocking-wait floor during THIS
+        # run (varies ~0.1..25+ ms with tunnel conditions; per-frame e2e
+        # cost includes at least one such wait) — see utils/tunnel.py
+        "tunnel_sync_floor_ms": sync_floor_ms(),
         "realtime_dropped_pct": round(100.0 * dropped / n_frames, 1),
         "realtime_processed": done,
         "realtime_tracked": rt_tracked,

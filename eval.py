@@ -152,6 +152,12 @@ def main(argv=None):
                           "value": res.get("kf_ate_rmse", res.get("ate_rmse")),
                           **res}))
         all_results[name] = res
+    # calibration: the device link's blocking-wait floor during this run
+    # (varies ~0.1..25+ ms with tunnel conditions) — makes the fps column
+    # interpretable across runs; see utils/tunnel.py
+    from orbslam_jpminipc_tpu.utils.tunnel import sync_floor_ms
+
+    all_results["tunnel_sync_floor_ms"] = sync_floor_ms()
     if args.out:
         with open(args.out, "w") as f:
             json.dump(all_results, f, indent=1)

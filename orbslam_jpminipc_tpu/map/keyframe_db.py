@@ -179,6 +179,17 @@ class KeyFrameDatabase:
             self.present & ~connected & (shared > min_common)
             & (scores >= min_score)
         )[0]
+        from ..utils.tracing import get_tracer
+
+        n_shared_gate = int((self.present & ~connected
+                             & (shared > min_common)).sum())
+        get_tracer().log(
+            "loop_gates", kf=int(query_kf),
+            max_shared=int(shared_ext.max()), min_common=round(min_common, 1),
+            min_score=round(float(min_score), 4),
+            n_nonconnected=int((self.present & ~connected).sum()),
+            n_shared_gate=n_shared_gate, n_score_gate=int(len(cand)),
+        )
         if len(cand) == 0:
             return []
         return self._group_select(cand, scores, top_group, min_covis_weight)

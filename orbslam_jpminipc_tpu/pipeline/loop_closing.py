@@ -131,8 +131,12 @@ class LoopCloser:
                 max_dist=50, nn_ratio=0.75, check_rotation=True,
             )
             mask, idx = jax.device_get([m.mask, m.idx])  # one RPC
-            get_tracer().log("sim3_mutual", kf=int(kf), cand=int(cand),
-                             n_match=int(mask.sum()))
+            get_tracer().log(
+                "sim3_mutual", kf=int(kf), cand=int(cand),
+                n_match=int(mask.sum()),
+                n_q=int((st.kf_feat_valid[kf] & (st.kf_point[kf] >= 0)).sum()),
+                n_c=int((st.kf_feat_valid[cand]
+                         & (st.kf_point[cand] >= 0)).sum()))
             if mask.sum() < 20:
                 continue
             p_c = st.kf_point[kf]

@@ -145,6 +145,18 @@ class TestHamming:
                 ref = bin(int.from_bytes(bytes((d1[i] ^ d2[j]).tolist()), "big")).count("1")
                 assert H[i, j] == ref
 
+    def test_pairwise_multidim_vs_oracle(self, rng):
+        # the tree-vocabulary descent calls hamming_pairwise on (N, k, 32)
+        # batches — the shape class whose old 256-entry LUT gather
+        # serialized on TPU; assert the lax.population_count path is exact
+        d1 = rng.integers(0, 256, size=(17, 5, 32)).astype(np.uint8)
+        d2 = rng.integers(0, 256, size=(17, 5, 32)).astype(np.uint8)
+        got = np.asarray(jax.jit(hamming.hamming_pairwise)(jnp.array(d1), jnp.array(d2)))
+        ref = np.unpackbits(d1 ^ d2, axis=-1).sum(-1)
+        np.testing.assert_array_equal(got, ref)
+        pc = np.asarray(jax.jit(hamming.popcount_rows)(jnp.array(d1[:, 0])))
+        np.testing.assert_array_equal(pc, np.unpackbits(d1[:, 0], axis=-1).sum(-1))
+
     def test_unpack_roundtrip(self, rng):
         d = rng.integers(0, 256, size=(16, 32)).astype(np.uint8)
         bits = np.asarray(jax.jit(hamming.unpack_bits)(jnp.array(d)))
