@@ -24,7 +24,7 @@ def main(argv=None):
     ap.add_argument("--seq", default="orbit")
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--vocab", default="tree64k",
-                    choices=["tree64k", "synthetic", "none"])
+                    help="tree64k | synthetic | none | path to a .npz vocabulary")
     ap.add_argument("--pipelined", type=int, default=1)
     ap.add_argument("--events", default="/tmp/diag_events.jsonl")
     ap.add_argument("--seed", type=int, default=0)
@@ -53,11 +53,14 @@ def main(argv=None):
     )
     vocab = None
     if args.vocab != "none":
-        name = ("vocab_tree64k.npz" if args.vocab == "tree64k"
-                else "vocab_synthetic.npz")
-        vocab = load_vocabulary(os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "orbslam_jpminipc_tpu", "data", name))
+        if os.path.exists(args.vocab):
+            vocab = load_vocabulary(args.vocab)
+        else:
+            name = ("vocab_tree64k.npz" if args.vocab == "tree64k"
+                    else "vocab_synthetic.npz")
+            vocab = load_vocabulary(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "orbslam_jpminipc_tpu", "data", name))
 
     n = args.frames
     seq = SyntheticSequence(n_frames=n, trajectory=args.seq, seed=args.seed)
